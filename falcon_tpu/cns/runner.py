@@ -1,0 +1,197 @@
+"""Consensus driver: seed-grouped error correction -> preads.
+
+Exact reimplementation of the reference fc_consensus front-end
+(reference: falcon_kit/mains/consensus.py): group gating
+(min_n_read / min_cov_aln, 100kb clip, dedup of support ids,
+get_seq_data :161-209), longest-read capping by max_cov_aln
+(get_longest_reads :26-45), and the output rules (>=500bp, [ACGT]+ good
+regions, --output-multi "prolog/<seed>N/0_len" naming, 80-col wrap,
+consensus.py:276-299).
+
+The compute itself (per-group generate_consensus) runs through
+falcon_tpu.ops -- host-exact kernels now, device batching via
+ops.align_device when available.
+"""
+import re
+import logging
+
+from ..io import fasta
+from ..ops import consensus_dp
+
+LOG = logging.getLogger(__name__)
+
+GOOD_REGION = re.compile("[ACGT]+")
+MAX_SEQ_LEN = 100000  # the reference clips all reads at 100kb
+
+
+class ConsensusConfig:
+    def __init__(self, min_cov=6, K=8, max_n_read=500, min_idt=0.70,
+                 edge_tolerance=1000, trim_size=50, min_cov_aln=10,
+                 max_cov_aln=0, min_n_read=10, min_len_aln=0,
+                 output_full=False, output_multi=False, trim=False):
+        self.min_cov = min_cov
+        self.K = K
+        self.max_n_read = max_n_read
+        self.min_idt = min_idt
+        self.edge_tolerance = edge_tolerance
+        self.trim_size = trim_size
+        self.min_cov_aln = min_cov_aln
+        self.max_cov_aln = max_cov_aln
+        self.min_n_read = min_n_read
+        self.min_len_aln = min_len_aln
+        self.output_full = output_full
+        self.output_multi = output_multi
+        self.trim = trim
+
+    @classmethod
+    def from_option_string(cls, opts):
+        """Parse a falcon_sense_option string, e.g.
+        '--output-multi --min-idt 0.70 --min-cov 4 --max-n-read 200'."""
+        cfg = cls()
+        toks = opts.replace("_", "-").split()
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if t == "--output-multi":
+                cfg.output_multi = True
+            elif t == "--output-full":
+                cfg.output_full = True
+            elif t == "--trim":
+                cfg.trim = True
+            elif t in ("--min-idt",):
+                i += 1
+                cfg.min_idt = float(toks[i])
+            elif t in ("--min-cov",):
+                i += 1
+                cfg.min_cov = int(toks[i])
+            elif t == "--min-cov-aln":
+                i += 1
+                cfg.min_cov_aln = int(toks[i])
+            elif t == "--max-cov-aln":
+                i += 1
+                cfg.max_cov_aln = int(toks[i])
+            elif t == "--max-n-read":
+                i += 1
+                cfg.max_n_read = int(toks[i])
+            elif t == "--min-n-read":
+                i += 1
+                cfg.min_n_read = int(toks[i])
+            elif t == "--min-len-aln":
+                i += 1
+                cfg.min_len_aln = int(toks[i])
+            elif t == "--edge-tolerance":
+                i += 1
+                cfg.edge_tolerance = int(toks[i])
+            elif t == "--trim-size":
+                i += 1
+                cfg.trim_size = int(toks[i])
+            elif t == "--n-core":
+                i += 1
+            i += 1
+        return cfg
+
+
+def get_longest_reads(seqs, max_n_read, max_cov_aln, sort=True):
+    """Cap support reads by count and by coverage of the seed
+    (reference: consensus.py:26-45)."""
+    if sort:
+        seqs = seqs[:1] + sorted(seqs[1:], key=lambda x: -len(x))
+    longest_n_reads = max_n_read
+    if max_cov_aln > 0:
+        longest_n_reads = 1
+        seed_len = len(seqs[0])
+        read_cov = 0
+        for seq in seqs[1:]:
+            if read_cov // seed_len > max_cov_aln:
+                break
+            longest_n_reads += 1
+            read_cov += len(seq)
+        longest_n_reads = min(longest_n_reads, max_n_read)
+    return seqs[:longest_n_reads]
+
+
+def gate_group(seed_id, seqs_with_ids, cfg):
+    """Apply the get_seq_data gates to one seed group.
+
+    seqs_with_ids: [(read_id, seq)] with the seed first.  Returns the gated
+    seq list (seed duplicated at [0] and [1], as fc_consensus feeds the
+    kernel) or None if the group is dropped.
+    (reference: get_seq_data, consensus.py:161-209)"""
+    seqs = []
+    seed_len = 0
+    read_ids = set()
+    read_cov = 0
+    for read_id, seq in seqs_with_ids:
+        if len(seq) > MAX_SEQ_LEN:
+            seq = seq[:MAX_SEQ_LEN - 1]
+        if len(seq) < cfg.min_len_aln:
+            continue
+        if not seqs:
+            seqs.append(seq)  # the seed
+            seed_len = len(seq)
+        if read_id not in read_ids:  # seed is re-added here by design
+            seqs.append(seq)
+            read_ids.add(read_id)
+            read_cov += len(seq)
+    if not seqs:
+        return None
+    if len(seqs) >= cfg.min_n_read and read_cov // seed_len >= cfg.min_cov_aln:
+        return get_longest_reads(seqs, cfg.max_n_read, cfg.max_cov_aln,
+                                 sort=True)
+    return None
+
+
+def consensus_for_group(seed_id, seqs, cfg):
+    """(consensus_str, seed_id) for one gated group."""
+    if len(seqs) > cfg.max_n_read:
+        seqs = get_longest_reads(seqs, cfg.max_n_read, cfg.max_cov_aln,
+                                 sort=True)
+    cns = consensus_dp.generate_consensus(
+        seqs, min_cov=cfg.min_cov, K=cfg.K, min_idt=cfg.min_idt)
+    return cns, seed_id
+
+
+def format_output(cns, seed_id, cfg, out):
+    """Emit one group's consensus in the reference's output format
+    (reference: consensus.py:276-299)."""
+    if len(cns) < 500:
+        return 0
+    n = 0
+    if cfg.output_full:
+        out.write(">" + seed_id + "_f\n")
+        out.write(cns + "\n")
+        return 1
+    regions = GOOD_REGION.findall(cns)
+    if not regions:
+        return 0
+    if cfg.output_multi:
+        seq_i = 0
+        for cns_seq in regions:
+            if len(cns_seq) < 500:
+                continue
+            if seq_i >= 10:
+                break
+            out.write(">prolog/%s%01d/%d_%d\n" % (seed_id, seq_i, 0,
+                                                  len(cns_seq)))
+            out.write(fasta.format_seq(cns_seq, 80) + "\n")
+            seq_i += 1
+            n += 1
+    else:
+        regions.sort(key=len)
+        out.write(">" + seed_id + "\n")
+        out.write(regions[-1] + "\n")
+        n = 1
+    return n
+
+
+def run_consensus(groups, cfg, out):
+    """groups: iterable of (seed_id, [(read_id, seq), ...]).  Writes pread
+    FASTA to `out`; returns number of sequences emitted."""
+    emitted = 0
+    for seed_id, seqs_with_ids in groups:
+        gated = gate_group(seed_id, seqs_with_ids, cfg)
+        if gated is None:
+            continue
+        cns, sid = consensus_for_group(seed_id, gated, cfg)
+        emitted += format_output(cns, sid, cfg, out)
+    return emitted

@@ -1,0 +1,356 @@
+"""Block x block all-vs-all overlap engine.
+
+TPU-native replacement for the external daligner + LAsort/LAmerge +
+LA4Falcon pipeline the reference shells out to (reference:
+falcon_kit/bash.py:206,235 HPC.daligner job plans; falcon_kit/mains/
+dazzler.py:339-616 block-pair scatter + merge tree).  One engine call
+compares a query block A against a target block B (both orientations) and
+emits 13-column overlap records in forward-strand coordinates
+(see overlap.records).
+
+Stages:
+  1. k-mer index of block B, fwd + revcomp, frequency-masked
+     (the DBdust/-t<mask> analog)
+  2. sorted-join seed matching for all A reads at once
+  3. per (a, b, strand) diagonal-window chaining -> one candidate anchor
+     per pair (the `find_best_aln_range` analog, vectorized over all pairs)
+  4. banded O(ND) extension from the anchor to both read ends
+     (ops.align host path, or the batched device kernel when available)
+  5. classification (contains / contained / overlap) + symmetric record
+     emission
+
+This module is the engine's reference implementation (numpy, exact); the
+device path plugs in via `aligner=`; see falcon_tpu.ops.align_device.
+"""
+import logging
+
+import numpy as np
+
+from ..io.readstore import revcomp_codes
+from ..ops import align as _align
+from . import records as R
+
+LOG = logging.getLogger(__name__)
+
+_A = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+class OverlapParams:
+    def __init__(self, k=14, max_kmer_freq=64, min_hits=4, bin_size=256,
+                 band_tolerance=250, min_overlap=1000, min_idt=0.0,
+                 stride=1):
+        self.k = k
+        self.max_kmer_freq = max_kmer_freq   # daligner -t analog
+        self.min_hits = min_hits             # seeds needed per candidate
+        self.bin_size = bin_size             # diagonal bin width
+        self.band_tolerance = band_tolerance
+        self.min_overlap = min_overlap       # daligner -l analog
+        self.min_idt = min_idt               # fraction, e.g. 0.70
+        self.stride = stride                 # A-read k-mer stride
+
+
+def _codes_to_ascii(codes):
+    return _A[np.minimum(codes, 3)].tobytes()
+
+
+def _kmer_keys_flat(codes, K):
+    """Rolling 2-bit keys for every position of a flat code array (invalid
+    for the last K-1 positions and positions touching non-ACGT)."""
+    c = codes.astype(np.int64)
+    n = len(c)
+    if n < K:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool)
+    bad = c > 3
+    c = np.where(bad, 0, c)
+    # Horner accumulation over K shifted views
+    acc = np.zeros(n - K + 1, dtype=np.int64)
+    for i in range(K):
+        acc = acc * 4 + c[i:n - K + 1 + i]
+    validity = ~bad
+    ok = np.ones(n - K + 1, dtype=bool)
+    for i in range(K):
+        ok &= validity[i:n - K + 1 + i]
+    return acc, ok
+
+
+class BlockIndex:
+    """Sorted k-mer index over one read block, both orientations.
+
+    Positions are encoded in a flat concatenated coordinate space; revcomp
+    reads are laid out in a parallel flat array with the same offsets.
+    """
+
+    def __init__(self, store, rids, params):
+        self.store = store
+        self.rids = np.asarray(rids, dtype=np.int64)
+        self.params = params
+        lens = store.lengths[self.rids].astype(np.int64)
+        self.lens = lens
+        self.offsets = np.zeros(len(rids) + 1, dtype=np.int64)
+        np.cumsum(lens, out=self.offsets[1:])
+        total = int(self.offsets[-1])
+        self.fwd = np.empty(total, dtype=np.uint8)
+        self.rev = np.empty(total, dtype=np.uint8)
+        for i, rid in enumerate(self.rids):
+            c = store.get_codes(rid)
+            o = self.offsets[i]
+            self.fwd[o:o + len(c)] = c
+            self.rev[o:o + len(c)] = revcomp_codes(c)
+
+        K = params.k
+        keys_f, ok_f = _kmer_keys_flat(self.fwd, K)
+        keys_r, ok_r = _kmer_keys_flat(self.rev, K)
+        # kill k-mers spanning read boundaries
+        pos = np.arange(len(keys_f), dtype=np.int64)
+        read_of = np.searchsorted(self.offsets, pos, side="right") - 1
+        within = pos + K <= self.offsets[read_of + 1]
+        ok_f &= within
+        ok_r &= within[:len(ok_r)]
+        self.read_of_pos = read_of
+
+        def build(keys, ok):
+            p = np.nonzero(ok)[0]
+            k = keys[p]
+            order = np.argsort(k, kind="stable")
+            return k[order], p[order]
+
+        self.keys_f, self.pos_f = build(keys_f, ok_f)
+        self.keys_r, self.pos_r = build(keys_r, ok_r)
+
+        # frequency mask (daligner -t): drop over-represented k-mers
+        self.mask_f = self._freq_mask(self.keys_f)
+        self.mask_r = self._freq_mask(self.keys_r)
+
+    def _freq_mask(self, sorted_keys):
+        if len(sorted_keys) == 0:
+            return np.zeros(0, dtype=bool)
+        uniq, start, counts = np.unique(sorted_keys, return_index=True,
+                                        return_counts=True)
+        bad = counts > self.params.max_kmer_freq
+        mask = np.zeros(len(sorted_keys), dtype=bool)
+        for s, c in zip(start[bad], counts[bad]):
+            mask[s:s + c] = True
+        return mask
+
+    def match(self, q_keys, q_ok):
+        """Join query k-mer keys against the index.
+
+        Returns (q_pos, t_flat_pos, strand) hit arrays."""
+        out = []
+        qp_all = np.nonzero(q_ok)[0]
+        qk = q_keys[qp_all]
+        for strand, (keys, pos, mask) in enumerate(
+                ((self.keys_f, self.pos_f, self.mask_f),
+                 (self.keys_r, self.pos_r, self.mask_r))):
+            if len(keys) == 0:
+                continue
+            lo = np.searchsorted(keys, qk, side="left")
+            hi = np.searchsorted(keys, qk, side="right")
+            cnt = hi - lo
+            have = cnt > 0
+            if not have.any():
+                continue
+            # expand ranges
+            reps = cnt[have]
+            qrep = np.repeat(qp_all[have], reps)
+            starts = lo[have]
+            idx = np.repeat(starts, reps) + (
+                np.arange(reps.sum()) -
+                np.repeat(np.cumsum(reps) - reps, reps))
+            keep = ~mask[idx]
+            out.append((qrep[keep], pos[idx][keep],
+                        np.full(keep.sum(), strand, dtype=np.int8)))
+        if not out:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, np.zeros(0, dtype=np.int8)
+        return (np.concatenate([o[0] for o in out]),
+                np.concatenate([o[1] for o in out]),
+                np.concatenate([o[2] for o in out]))
+
+
+def _chain_candidates(qpos, tpos, a_read, b_read, strand, params):
+    """Group hits by (a, b, strand); diagonal-window chain each group.
+
+    Returns list of (a_idx, b_idx, strand, q_anchor, t_anchor, n_seeds)
+    with anchors at the start of the densest diagonal band."""
+    if len(qpos) == 0:
+        return []
+    diag = qpos - tpos
+    binned = diag // params.bin_size
+    # composite sort: (a, b, strand, bin, qpos)
+    order = np.lexsort((qpos, binned, strand, b_read, a_read))
+    a = a_read[order]
+    b = b_read[order]
+    s = strand[order]
+    bn = binned[order]
+    qp = qpos[order]
+    tp = tpos[order]
+
+    # pair group boundaries
+    pair_change = np.ones(len(a), dtype=bool)
+    pair_change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (s[1:] != s[:-1])
+    pair_starts = np.nonzero(pair_change)[0]
+    pair_ends = np.append(pair_starts[1:], len(a))
+
+    # within pair, count per (bin) and adjacent bin to tolerate drift
+    out = []
+    for ps, pe in zip(pair_starts, pair_ends):
+        bins = bn[ps:pe]
+        # densest window of two adjacent bins
+        ub, inv, cnts = np.unique(bins, return_inverse=True,
+                                  return_counts=True)
+        # combine adjacent bins
+        comb = cnts.copy()
+        if len(ub) > 1:
+            adj = np.zeros_like(cnts)
+            adj[:-1] += np.where(ub[1:] == ub[:-1] + 1, cnts[1:], 0)
+            comb = cnts + adj
+        bi = int(np.argmax(comb))
+        n_in = int(comb[bi])
+        if n_in < params.min_hits:
+            continue
+        sel = (inv == bi)
+        if bi + 1 < len(ub) and ub[bi + 1] == ub[bi] + 1:
+            sel |= (inv == bi + 1)
+        qs = qp[ps:pe][sel]
+        ts = tp[ps:pe][sel]
+        k = int(np.argmin(qs))
+        out.append((int(a[ps]), int(b[ps]), int(s[ps]),
+                    int(qs[k]), int(ts[k]), n_in))
+    return out
+
+
+def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
+                   same_block=None):
+    """Overlap all reads of block A against block B.
+
+    Returns a list of Overlap records: one per (a, b, strand) candidate
+    that aligns, A-side only (call emit_symmetric for the mirror records).
+    same_block: skip a>=b self/dup pairs (defaults to rids_a is rids_b).
+    """
+    params = params or OverlapParams()
+    if same_block is None:
+        same_block = rids_a is rids_b or (
+            len(rids_a) == len(rids_b) and
+            np.array_equal(np.asarray(rids_a), np.asarray(rids_b)))
+
+    index = BlockIndex(store, rids_b, params)
+    K = params.k
+
+    # gather all A hits
+    all_q, all_t, all_s, all_ar = [], [], [], []
+    rids_a = np.asarray(rids_a, dtype=np.int64)
+    for ai, rid in enumerate(rids_a):
+        codes = store.get_codes(rid)
+        keys, ok = _kmer_keys_flat(codes, K)
+        if params.stride > 1:
+            ok = ok.copy()
+            m = np.zeros(len(ok), dtype=bool)
+            m[::params.stride] = True
+            ok &= m
+        qpos, tflat, strand = index.match(keys, ok)
+        if len(qpos) == 0:
+            continue
+        all_q.append(qpos)
+        all_t.append(tflat)
+        all_s.append(strand)
+        all_ar.append(np.full(len(qpos), ai, dtype=np.int64))
+
+    if not all_q:
+        return []
+    qpos = np.concatenate(all_q)
+    tflat = np.concatenate(all_t)
+    strand = np.concatenate(all_s).astype(np.int64)
+    a_idx = np.concatenate(all_ar)
+
+    b_idx = np.searchsorted(index.offsets, tflat, side="right") - 1
+    tpos = tflat - index.offsets[b_idx]
+
+    # drop self-pairs / duplicate unordered pairs within one block
+    if same_block:
+        keep = rids_a[a_idx] < index.rids[b_idx]
+        qpos, tpos, strand = qpos[keep], tpos[keep], strand[keep]
+        a_idx, b_idx = a_idx[keep], b_idx[keep]
+    else:
+        keep = rids_a[a_idx] != index.rids[b_idx]
+        qpos, tpos, strand = qpos[keep], tpos[keep], strand[keep]
+        a_idx, b_idx = a_idx[keep], b_idx[keep]
+
+    cands = _chain_candidates(qpos, tpos, a_idx, b_idx, strand, params)
+    LOG.debug("overlap_blocks: %d candidate pairs", len(cands))
+
+    if aligner is None:
+        aligner = extend_pairs_host
+    return aligner(store, index, rids_a, cands, params)
+
+
+def extend_pairs_host(store, index, rids_a, cands, params):
+    """Anchor -> full overlap via two banded O(ND) extensions (host)."""
+    out = []
+    for (ai, bi, strand, qa, ta, n_seeds) in cands:
+        a_rid = int(rids_a[ai])
+        b_rid = int(index.rids[bi])
+        a_codes = store.get_codes(a_rid)
+        bo = index.offsets[bi]
+        blen = int(index.lens[bi])
+        b_codes = (index.fwd if strand == 0 else index.rev)[bo:bo + blen]
+        o = extend_one(a_codes, b_codes, qa, ta, params)
+        if o is None:
+            continue
+        (a_s, a_e, b_s, b_e, dist, aln_len) = o
+        a_len = len(a_codes)
+        if aln_len < params.min_overlap:
+            continue
+        idt = 100.0 * (1.0 - dist / max(1, aln_len))
+        if idt < 100.0 * params.min_idt:
+            continue
+        # convert b coords to forward strand
+        if strand == 1:
+            b_s, b_e = blen - b_e, blen - b_s
+        klass = R.classify(strand, a_s, a_e, a_len, b_s, b_e, blen)
+        if klass == R.NONE:
+            continue
+        score = -(a_e - a_s)
+        out.append(R.Overlap("%09d" % a_rid, "%09d" % b_rid, score, idt,
+                             0, a_s, a_e, a_len, strand, b_s, b_e, blen,
+                             klass))
+    return out
+
+
+def extend_one(a_codes, b_codes, qa, ta, params):
+    """Extend an anchor (qa, ta) to both ends with the banded O(ND)
+    aligner.  Returns (a_s, a_e, b_s, b_e, dist, aln_len) in the
+    orientation of b_codes, or None."""
+    band = params.band_tolerance
+    a_ascii = _codes_to_ascii(a_codes)
+    b_ascii = _codes_to_ascii(b_codes)
+
+    fwd = _align.align(a_ascii[qa:], b_ascii[ta:], band, False)
+    if fwd.aln_str_size == 0 and (len(a_ascii) - qa) > 0 and \
+            (len(b_ascii) - ta) > 0:
+        return None
+    bwd = _align.align(a_ascii[:qa][::-1], b_ascii[:ta][::-1], band, False)
+    if bwd.aln_str_size == 0 and qa > 0 and ta > 0:
+        return None
+    a_s = qa - bwd.aln_q_e
+    b_s = ta - bwd.aln_t_e
+    a_e = qa + fwd.aln_q_e
+    b_e = ta + fwd.aln_t_e
+    dist = fwd.dist + bwd.dist
+    aln_len = ((a_e - a_s) + (b_e - b_s)) // 2
+    return a_s, a_e, b_s, b_e, dist, aln_len
+
+
+def emit_symmetric(overlaps):
+    """For each record, also emit the mirrored (b, a) record; returns all
+    records sorted by (a_id, b_id) for a stable table."""
+    all_recs = []
+    flips = {R.CONTAINS: R.CONTAINED, R.CONTAINED: R.CONTAINS}
+    for o in overlaps:
+        all_recs.append(o)
+        all_recs.append(R.Overlap(
+            o.b_id, o.a_id, o.score, o.idt, 0, o.b_start, o.b_end, o.b_len,
+            o.b_strand, o.a_start, o.a_end, o.a_len,
+            flips.get(o.klass, o.klass)))
+    all_recs.sort(key=lambda o: (o.a_id, o.b_id))
+    return all_recs
