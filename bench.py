@@ -1,0 +1,108 @@
+"""Benchmark: overlap-extension alignment throughput on one chip.
+
+Measures the assembler's FLOP-dominant kernel -- batched banded overlap
+extension (falcon_tpu.ops.align_device) -- on realistic noisy long-read
+pairs, and reports aligned bases/second on the current accelerator.
+
+vs_baseline: ratio against the reference implementation's aligner (the
+banded O(ND) C kernel from /root/reference/src/c/DW_banded.c, compiled
+out-of-tree and timed on the same pairs on one host core).  If the
+reference checkout is unavailable, a previously measured constant for this
+host is used.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# measured on this container (2-core host) if the live oracle is missing:
+FALLBACK_C_BASES_PER_S = 1.1e6
+
+
+def make_pairs(B, L, err, seed=0):
+    rng = np.random.RandomState(seed)
+    q = np.full((B, L), 4, np.int32)
+    t = np.full((B, L), 5, np.int32)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    for b in range(B):
+        n = int(L * 0.9)
+        tt = rng.randint(0, 4, n).astype(np.uint8)
+        r = rng.rand(n)
+        keep = r >= err / 3
+        qq = tt[keep].copy()
+        sub = rng.rand(len(qq)) < err / 3
+        qq[sub] = (qq[sub] + rng.randint(1, 4, sub.sum())) % 4
+        ins = rng.rand(len(qq)) < err / 3
+        out = np.insert(qq, np.nonzero(ins)[0], rng.randint(0, 4, ins.sum()))
+        qq = out[:L]
+        q[b, :len(qq)] = qq
+        t[b, :n] = tt
+        qlen[b] = len(qq)
+        tlen[b] = n
+    return q, qlen, t, tlen
+
+
+def bench_device(q, qlen, t, tlen, W=256, iters=3):
+    import jax
+    import jax.numpy as jnp
+    from falcon_tpu.ops.align_device import extend_batch_device
+
+    args = (jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
+            jnp.asarray(tlen))
+    r = extend_batch_device(*args, W=W)
+    _ = [np.asarray(x) for x in r]  # compile + force
+    t0 = time.time()
+    for _ in range(iters):
+        r = extend_batch_device(*args, W=W)
+        _ = [np.asarray(x) for x in r]
+    dt = (time.time() - t0) / iters
+    bases = float(np.minimum(qlen, tlen).sum())
+    return bases / dt
+
+
+def bench_reference_c(q, qlen, t, tlen, max_pairs=8):
+    """Time the reference C aligner (oracle .so) on a sample of the same
+    pairs; returns bases/s or None."""
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        import oracle
+        oracle.get_lib()
+    except Exception:
+        return None
+    A = np.frombuffer(b"ACGT", np.uint8)
+    total_bases = 0
+    t0 = time.time()
+    for b in range(min(max_pairs, len(qlen))):
+        qs = A[np.minimum(q[b, :qlen[b]], 3)].tobytes()
+        ts = A[np.minimum(t[b, :tlen[b]], 3)].tobytes()
+        oracle.oracle_align(qs, ts, 256, False)
+        total_bases += min(len(qs), len(ts))
+    dt = time.time() - t0
+    return total_bases / dt if dt > 0 else None
+
+
+def main():
+    B, L, err = 512, 8192, 0.2
+    q, qlen, t, tlen = make_pairs(B, L, err)
+    dev_bps = bench_device(q, qlen, t, tlen)
+    ref_bps = bench_reference_c(q, qlen, t, tlen)
+    if ref_bps is None:
+        ref_bps = FALLBACK_C_BASES_PER_S
+    print(json.dumps({
+        "metric": "overlap_align_bases_per_s_per_chip",
+        "value": round(dev_bps, 1),
+        "unit": "bases/s",
+        "vs_baseline": round(dev_bps / ref_bps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

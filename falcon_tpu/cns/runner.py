@@ -142,12 +142,18 @@ def gate_group(seed_id, seqs_with_ids, cfg):
 
 
 def consensus_for_group(seed_id, seqs, cfg):
-    """(consensus_str, seed_id) for one gated group."""
+    """(consensus_str, seed_id) for one gated group.  Uses the native C++
+    kernel when available (identical output; see ops.native)."""
     if len(seqs) > cfg.max_n_read:
         seqs = get_longest_reads(seqs, cfg.max_n_read, cfg.max_cov_aln,
                                  sort=True)
-    cns = consensus_dp.generate_consensus(
-        seqs, min_cov=cfg.min_cov, K=cfg.K, min_idt=cfg.min_idt)
+    from ..ops import native
+    if native.available():
+        cns = native.generate_consensus(seqs, cfg.min_cov, cfg.K,
+                                        cfg.min_idt)
+    else:
+        cns = consensus_dp.generate_consensus(
+            seqs, min_cov=cfg.min_cov, K=cfg.K, min_idt=cfg.min_idt)
     return cns, seed_id
 
 

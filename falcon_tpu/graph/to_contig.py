@@ -52,7 +52,11 @@ def get_aln_data(t_seq, q_seq):
                 (e1 - s1, e2 - s2))
         if e1 - s1 > 100:
             LOG.debug("aligning alt path: q=%d t=%d", e1 - s1, e2 - s2)
-            aln = _align.align(q_seq[s1:e1], t_seq[s2:e2], 1500, True)
+            from ..ops import native
+            if native.available():
+                aln = native.align(q_seq[s1:e1], t_seq[s2:e2], 1500, True)
+            else:
+                aln = _align.align(q_seq[s1:e1], t_seq[s2:e2], 1500, True)
             if aln.aln_str_size > 100:
                 aln_data.append(("dummy", 0, s1, e1, len(q_seq), s2, e2,
                                  len(t_seq), aln.aln_str_size, aln.dist))

@@ -1,0 +1,564 @@
+// falcon_native: host-native compute kernels for falcon_tpu.
+//
+// C++ implementations of the assembler's host hot loops, semantically
+// identical to the oracle-validated python kernels in falcon_tpu/ops
+// (which in turn are bit-exact vs the reference C at
+// /root/reference/src/c -- see tests/test_*_oracle.py):
+//
+//   * banded O(ND) greedy difference alignment with traceback
+//     (falcon_tpu/ops/align.py semantics; cf. reference DW_banded.c:115)
+//   * direct-address k-mer seeding + diagonal-histogram range finding
+//     (falcon_tpu/ops/kmer.py; cf. reference kmer_lookup.c)
+//   * align-tag MSA accumulation + best-path consensus DP
+//     (falcon_tpu/ops/consensus_dp.py; cf. reference falcon.c)
+//
+// Exposed through a minimal C ABI consumed via ctypes
+// (falcon_tpu/ops/native.py).
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <climits>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+using std::string;
+using std::vector;
+
+// ---------------------------------------------------------------- aligner
+
+struct AlnResult {
+  int q_s = 0, q_e = 0, t_s = 0, t_e = 0, dist = 0, size = 0;
+  string qa, ta;  // gapped alignment strings (when requested)
+};
+
+// Per-(d, k) trace record: x before extension, x after extension, pre_k.
+// Records for one d are contiguous; k = rec_min_k[d] + 2*slot.
+struct TraceStore {
+  vector<int> x1, x2, pre_k;
+  vector<size_t> d_start;  // offset of each d's records
+  vector<int> d_min_k;
+};
+
+bool ond_align(const uint8_t* q, int q_len, const uint8_t* t, int t_len,
+               int band_tol, bool want_strings, AlnResult* out) {
+  const long max_d = (long)(0.3 * (q_len + t_len));
+  const long band_size = (long)band_tol * 2;
+  if (max_d <= 0) return false;
+
+  vector<int> V(2 * max_d + 1, 0), U(2 * max_d + 1, 0);
+  const long off = max_d;
+
+  TraceStore tr;
+  if (want_strings) {
+    tr.d_start.reserve(max_d + 1);
+    tr.d_min_k.reserve(max_d + 1);
+  }
+
+  long best_m = -1;
+  long min_k = 0, max_k = 0;
+  bool aligned = false;
+  long fin_d = 0, fin_k = 0, fin_x = 0, fin_y = 0;
+
+  for (long d = 0; d < max_d; ++d) {
+    if (max_k - min_k > band_size) break;
+
+    if (want_strings) {
+      tr.d_start.push_back(tr.x1.size());
+      tr.d_min_k.push_back((int)min_k);
+    }
+
+    for (long k = min_k; k <= max_k; k += 2) {
+      long x, pre_k;
+      if (k == min_k || (k != max_k && V[k - 1 + off] < V[k + 1 + off])) {
+        pre_k = k + 1;
+        x = V[k + 1 + off];
+      } else {
+        pre_k = k - 1;
+        x = V[k - 1 + off] + 1;
+      }
+      long y = x - k;
+      const long x0 = x;
+      while (x < q_len && y < t_len && q[x] == t[y]) {
+        ++x;
+        ++y;
+      }
+      if (want_strings) {
+        tr.x1.push_back((int)x0);
+        tr.x2.push_back((int)x);
+        tr.pre_k.push_back((int)pre_k);
+      }
+      V[k + off] = (int)x;
+      U[k + off] = (int)(x + y);
+      if (x + y > best_m) best_m = x + y;
+      if (x >= q_len || y >= t_len) {
+        aligned = true;
+        fin_d = d;
+        fin_k = k;
+        fin_x = x;
+        fin_y = y;
+        break;
+      }
+    }
+
+    // band trimming over the old [min_k, max_k]
+    long new_min_k = max_k, new_max_k = min_k;
+    for (long k2 = min_k; k2 <= max_k; k2 += 2) {
+      if (U[k2 + off] >= best_m - band_tol) {
+        if (k2 < new_min_k) new_min_k = k2;
+        if (k2 > new_max_k) new_max_k = k2;
+      }
+    }
+    min_k = new_min_k - 1;
+    max_k = new_max_k + 1;
+    if (aligned) break;
+  }
+
+  if (!aligned) return false;
+
+  out->q_e = (int)fin_x;
+  out->t_e = (int)fin_y;
+  out->dist = (int)fin_d;
+  out->size = (int)((fin_x + fin_y + fin_d) / 2);
+  out->q_s = 0;
+  out->t_s = 0;
+  if (!want_strings) return true;
+
+  // traceback through the per-d trace records
+  vector<std::pair<int, int>> path;
+  long cd = fin_d, ck = fin_k;
+  while (cd >= 0 && (long)path.size() < q_len + t_len + 1) {
+    const size_t base = tr.d_start[cd];
+    const size_t slot = (size_t)((ck - tr.d_min_k[cd]) / 2);
+    const int x1 = tr.x1[base + slot];
+    const int x2 = tr.x2[base + slot];
+    const int y1 = x1 - (int)ck, y2 = x2 - (int)ck;
+    path.push_back({x2, y2});
+    path.push_back({x1, y1});
+    ck = tr.pre_k[base + slot];
+    --cd;
+  }
+  size_t idx = path.size() - 1;
+  int cx = path[idx].first, cy = path[idx].second;
+  out->q_s = cx;
+  out->t_s = cy;
+  string& qa = out->qa;
+  string& ta = out->ta;
+  qa.reserve(out->size + 16);
+  ta.reserve(out->size + 16);
+  long aln_pos = 0;
+  while (idx > 0) {
+    --idx;
+    const int nx = path[idx].first, ny = path[idx].second;
+    if (cx == nx && cy == ny) continue;
+    if (nx == cx && ny != cy) {  // advance in y
+      qa.append(ny - cy, '-');
+      for (int i = cy; i < ny; ++i) ta.push_back((char)t[i]);
+      aln_pos += ny - cy;
+    } else if (nx != cx && ny == cy) {  // advance in x
+      for (int i = cx; i < nx; ++i) qa.push_back((char)q[i]);
+      ta.append(nx - cx, '-');
+      aln_pos += nx - cx;
+    } else {  // diagonal
+      for (int i = cx; i < nx; ++i) qa.push_back((char)q[i]);
+      for (int i = cy; i < ny; ++i) ta.push_back((char)t[i]);
+      aln_pos += ny - cy;
+    }
+    cx = nx;
+    cy = ny;
+  }
+  out->size = (int)aln_pos;
+  return true;
+}
+
+// ------------------------------------------------------------- k-mer table
+
+struct KmerIndex {
+  int K;
+  vector<int> starts;     // per key: offset into pos
+  vector<int> counts;
+  vector<int> pos;        // positions sorted by key then position
+  explicit KmerIndex(const uint8_t* seq, int len, int K_) : K(K_) {
+    const int nkeys = 1 << (2 * K);
+    // code map: ACGT->0..3, other->0xff
+    vector<int> codes(len);
+    for (int i = 0; i < len; ++i) {
+      switch (seq[i]) {
+        case 'A': codes[i] = 0; break;
+        case 'C': codes[i] = 1; break;
+        case 'G': codes[i] = 2; break;
+        case 'T': codes[i] = 3; break;
+        default: codes[i] = 0xff; break;
+      }
+    }
+    const int n = len - K;  // final k-mer at len-K excluded (ref quirk)
+    counts.assign(nkeys, 0);
+    starts.assign(nkeys + 1, 0);
+    if (n <= 0) return;
+    vector<int> keys(n);
+    long key = 0;
+    const long mask = (1L << (2 * K)) - 1;
+    for (int i = 0; i < K; ++i) key = (key << 2) | (codes[i] & 3);
+    for (int i = 0; i < n; ++i) {
+      keys[i] = (int)key;
+      ++counts[key];
+      key = ((key << 2) | (codes[i + K] & 3)) & mask;
+    }
+    for (int k = 0; k < nkeys; ++k) starts[k + 1] = starts[k] + counts[k];
+    pos.resize(n);
+    vector<int> fill(starts.begin(), starts.end() - 1);
+    for (int i = 0; i < n; ++i) pos[fill[keys[i]]++] = i;
+  }
+};
+
+struct Hits {
+  vector<int> q, t;
+};
+
+Hits find_hits(const KmerIndex& idx, const uint8_t* seq, int len) {
+  Hits h;
+  const int K = idx.K;
+  const int half = K >> 1;
+  if (len - K <= 0) return h;
+  vector<int> codes(len);
+  for (int i = 0; i < len; ++i) {
+    switch (seq[i]) {
+      case 'A': codes[i] = 0; break;
+      case 'C': codes[i] = 1; break;
+      case 'G': codes[i] = 2; break;
+      case 'T': codes[i] = 3; break;
+      default: codes[i] = 0xff; break;
+    }
+  }
+  for (int i = 0; i < len - K; i += half) {
+    long key = 0;
+    for (int j = 0; j < K; ++j) key = (key << 2) | (codes[i + j] & 3);
+    const int s = idx.starts[key], e = idx.starts[key + 1];
+    for (int p = s; p < e; ++p) {
+      h.q.push_back(i);
+      h.t.push_back(idx.pos[p]);
+    }
+  }
+  return h;
+}
+
+struct Range {
+  int s1 = 0, e1 = 0, s2 = 0, e2 = 0;
+  long score = 0;
+};
+
+// diagonal-histogram + Kadane range finder (ops/kmer.py
+// find_best_aln_range semantics)
+Range best_aln_range(const Hits& h, int bin_size, int count_th) {
+  Range r;
+  const size_t n = h.q.size();
+  if (n == 0) return r;
+  long d_min = LONG_MAX;
+  for (size_t i = 0; i < n; ++i) {
+    const long d = (long)h.q[i] - h.t[i];
+    if (d < d_min) d_min = d;
+  }
+  long nbins = 0;
+  vector<long> bins(n);
+  for (size_t i = 0; i < n; ++i) {
+    bins[i] = ((long)h.q[i] - h.t[i] - d_min) / bin_size;
+    if (bins[i] + 1 > nbins) nbins = bins[i] + 1;
+  }
+  vector<long> cnt(nbins, 0);
+  for (size_t i = 0; i < n; ++i) ++cnt[bins[i]];
+
+  long max_count = 0, max_bin = -1;
+  for (size_t i = 0; i < n; ++i) {
+    if (cnt[bins[i]] > max_count) {
+      max_count = cnt[bins[i]];
+      max_bin = bins[i];
+    }
+  }
+  vector<int> qc, tc;
+  if (max_bin >= 0 && max_count > count_th) {
+    for (size_t i = 0; i < n; ++i) {
+      if (labs(bins[i] - max_bin) > 5) continue;
+      if (cnt[bins[i]] > count_th) {
+        qc.push_back(h.q[i]);
+        tc.push_back(h.t[i]);
+      }
+    }
+  }
+  const size_t j = qc.size();
+  if (j > 1) {
+    r.s1 = r.e1 = qc[0];
+    r.s2 = r.e2 = tc[0];
+    long max_score = 0, cur = 0;
+    size_t cur_start = 0;
+    for (size_t i = 1; i < j; ++i) {
+      cur += 32 - (qc[i] - qc[i - 1]);
+      if (cur < 0) {
+        cur = 0;
+        cur_start = i;
+      } else if (cur > max_score) {
+        r.s1 = qc[cur_start];
+        r.s2 = tc[cur_start];
+        r.e1 = qc[i];
+        r.e2 = tc[i];
+        max_score = cur;
+        r.score = max_score;
+      }
+    }
+  }
+  return r;
+}
+
+// ------------------------------------------------------------ consensus DP
+
+struct Link {
+  int p_t;
+  uint8_t p_delta;
+  uint8_t p_base;
+  int count;
+};
+
+struct Col {
+  int count = 0;
+  double score = -1.0;
+  int best_p_t = -1;
+  uint8_t best_p_delta = 0;
+  uint8_t best_p_base = 0;
+  vector<Link> links;  // first-occurrence order
+};
+
+inline int base_idx(char c) {
+  switch (c) {
+    case 'A': return 0;
+    case 'C': return 1;
+    case 'G': return 2;
+    case 'T': return 3;
+    case '-': return 4;
+    default: return 4;  // non-ACGT- routed to the gap column
+  }
+}
+
+struct Tag {
+  int t_pos;
+  uint8_t delta;
+  char q_base;
+  int p_t_pos;
+  uint8_t p_delta;
+  char p_q_base;
+};
+
+void make_tags(const string& qa, const string& ta, int s1, int s2,
+               int t_offset, vector<Tag>* tags) {
+  int i = s1 - 1, j = s2 - 1, jj = 0, p_j = -1, p_jj = 0;
+  char p_q_base = '.';
+  for (size_t k = 0; k < qa.size(); ++k) {
+    if (qa[k] != '-') {
+      ++i;
+      ++jj;
+    }
+    if (ta[k] != '-') {
+      ++j;
+      jj = 0;
+    }
+    if (j + t_offset >= 0 && jj < 255 && p_jj < 255) {
+      tags->push_back({j + t_offset, (uint8_t)jj, qa[k], p_j + t_offset,
+                       (uint8_t)p_jj, p_q_base});
+      p_j = j;
+      p_jj = jj;
+      p_q_base = qa[k];
+    } else {
+      break;
+    }
+  }
+}
+
+struct ColKey {
+  int t;
+  uint8_t delta;
+  uint8_t base;
+  bool operator==(const ColKey& o) const {
+    return t == o.t && delta == o.delta && base == o.base;
+  }
+};
+struct ColKeyHash {
+  size_t operator()(const ColKey& k) const {
+    return ((size_t)k.t << 11) ^ ((size_t)k.delta << 3) ^ k.base;
+  }
+};
+
+string cns_from_tag_seqs(const vector<vector<Tag>>& tag_seqs, int t_len,
+                         int min_cov) {
+  vector<int> coverage(t_len, 0), max_delta(t_len, 0);
+  std::unordered_map<ColKey, Col, ColKeyHash> cols;
+  cols.reserve(t_len * 3);
+
+  int t_pos = 0;
+  for (const auto& tags : tag_seqs) {
+    for (const auto& tg : tags) {
+      if (tg.delta == 0) {
+        t_pos = tg.t_pos;
+        ++coverage[t_pos];
+      }
+      if (tg.delta > max_delta[t_pos]) max_delta[t_pos] = tg.delta;
+      const ColKey key{t_pos, tg.delta, (uint8_t)base_idx(tg.q_base)};
+      Col& col = cols[key];
+      ++col.count;
+      const int pb = base_idx(tg.p_q_base);
+      bool found = false;
+      for (auto& ln : col.links) {
+        if (ln.p_t == tg.p_t_pos && ln.p_delta == tg.p_delta &&
+            ln.p_base == (uint8_t)pb) {
+          ++ln.count;
+          found = true;
+          break;
+        }
+      }
+      if (!found) col.links.push_back({tg.p_t_pos, tg.p_delta, (uint8_t)pb, 1});
+    }
+  }
+
+  // forward scoring in (t_pos, delta, base) order; strict '>' tie-breaking
+  double g_best_score = -1.0;
+  const Col* g_best_col = nullptr;
+  int g_best_ck = -1, g_best_t = 0;
+  for (int i = 0; i < t_len; ++i) {
+    const double cov_term = 0.5 * coverage[i];
+    for (int dj = 0; dj <= max_delta[i]; ++dj) {
+      for (int kk = 0; kk < 5; ++kk) {
+        auto it = cols.find(ColKey{i, (uint8_t)dj, (uint8_t)kk});
+        if (it == cols.end()) continue;
+        Col& col = it->second;
+        double best = -1.0;
+        int bck = -1;
+        for (size_t ck = 0; ck < col.links.size(); ++ck) {
+          const Link& ln = col.links[ck];
+          double s;
+          if (ln.p_t == -1) {
+            s = (double)ln.count - cov_term;
+          } else {
+            auto pit = cols.find(ColKey{ln.p_t, ln.p_delta, ln.p_base});
+            const double ps = (pit == cols.end()) ? -1.0 : pit->second.score;
+            s = ps + (double)ln.count - cov_term;
+          }
+          if (s > best) {
+            best = s;
+            col.best_p_t = ln.p_t;
+            col.best_p_delta = ln.p_delta;
+            col.best_p_base = ln.p_base;
+            bck = (int)ck;
+          }
+        }
+        col.score = best;
+        if (best > g_best_score) {
+          g_best_score = best;
+          g_best_col = &col;
+          g_best_ck = bck;
+          g_best_t = i;
+        }
+      }
+    }
+  }
+  if (!g_best_col || g_best_score == -1.0) return "";
+
+  // backtrack, preserving the reference's first-base-from-link-index quirk
+  string out;
+  int ck = g_best_ck;
+  int i = g_best_t;
+  const Col* cur = g_best_col;
+  long index = 0;
+  static const char UP[] = "ACGT-";
+  static const char LO[] = "acgt-";
+  while (true) {
+    char bb = '$';
+    if (ck >= 0 && ck < 5) bb = (coverage[i] > min_cov) ? UP[ck] : LO[ck];
+    const int pi = cur->best_p_t;
+    i = pi;
+    if (i == -1 || index >= (long)t_len * 2) break;
+    ck = cur->best_p_base;
+    auto it = cols.find(ColKey{pi, cur->best_p_delta, cur->best_p_base});
+    if (it == cols.end()) break;  // unreachable for t_offset==0 inputs
+    cur = &it->second;
+    if (bb != '-') {
+      out.push_back(bb);
+      ++index;
+    }
+  }
+  std::reverse(out.begin(), out.end());
+  return out;
+}
+
+string generate_consensus_impl(const char** seqs, unsigned n_seq,
+                               unsigned min_cov, unsigned K, double min_idt) {
+  if (n_seq == 0) return "";
+  const double max_diff = 1.0 - min_idt;
+  const uint8_t* seed = (const uint8_t*)seqs[0];
+  const int seed_len = (int)strlen(seqs[0]);
+  KmerIndex idx(seed, seed_len, (int)K);
+
+  vector<vector<Tag>> tag_seqs;
+  for (unsigned j = 1; j < n_seq; ++j) {
+    const uint8_t* s = (const uint8_t*)seqs[j];
+    const int slen = (int)strlen(seqs[j]);
+    Hits h = find_hits(idx, s, slen);
+    if (h.q.empty()) continue;
+    Range r = best_aln_range(h, (int)(K * 6), 5);
+    if (r.e1 - r.s1 < 100 || r.e2 - r.s2 < 100 ||
+        abs((r.e1 - r.s1) - (r.e2 - r.s2)) >
+            (int)(0.5 * 0.10 * (r.e1 - r.s1 + r.e2 - r.s2)))
+      continue;
+    AlnResult aln;
+    if (!ond_align(s + r.s1, r.e1 - r.s1, seed + r.s2, r.e2 - r.s2, 150,
+                   true, &aln))
+      continue;
+    if (aln.size > 500 && ((double)aln.dist / (double)aln.size) < max_diff) {
+      tag_seqs.emplace_back();
+      make_tags(aln.qa, aln.ta, r.s1, r.s2, 0, &tag_seqs.back());
+    }
+  }
+  if (tag_seqs.empty()) return "";
+  return cns_from_tag_seqs(tag_seqs, seed_len, (int)min_cov);
+}
+
+}  // namespace
+
+extern "C" {
+
+char* ftpu_generate_consensus(const char** seqs, unsigned n_seq,
+                              unsigned min_cov, unsigned K, double min_idt) {
+  const string s = generate_consensus_impl(seqs, n_seq, min_cov, K, min_idt);
+  char* out = (char*)malloc(s.size() + 1);
+  memcpy(out, s.c_str(), s.size() + 1);
+  return out;
+}
+
+void ftpu_free(char* p) { free(p); }
+
+// Banded O(ND) alignment.  out6 = [q_s, q_e, t_s, t_e, dist, size].
+// With want_strings, *q_aln/*t_aln receive malloc'd NUL-terminated gapped
+// strings (caller frees with ftpu_free).  Returns 1 if aligned.
+int ftpu_align(const char* q, int q_len, const char* t, int t_len,
+               int band_tol, int want_strings, int* out6, char** q_aln,
+               char** t_aln) {
+  AlnResult r;
+  const bool ok = ond_align((const uint8_t*)q, q_len, (const uint8_t*)t,
+                            t_len, band_tol, want_strings != 0, &r);
+  out6[0] = r.q_s;
+  out6[1] = r.q_e;
+  out6[2] = r.t_s;
+  out6[3] = r.t_e;
+  out6[4] = r.dist;
+  out6[5] = r.size;
+  if (want_strings) {
+    char* qa = (char*)malloc(r.qa.size() + 1);
+    memcpy(qa, r.qa.c_str(), r.qa.size() + 1);
+    char* ta = (char*)malloc(r.ta.size() + 1);
+    memcpy(ta, r.ta.c_str(), r.ta.size() + 1);
+    *q_aln = qa;
+    *t_aln = ta;
+  }
+  return ok ? 1 : 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,181 @@
+"""Batched banded alignment on device (JAX/XLA, TPU-first).
+
+The overlap engine's extension step -- the FLOP-dominant loop of the whole
+assembler (the role of the reference's O(ND) wavefront, src/c/
+DW_banded.c:115) -- reformulated for the TPU's vector unit:
+
+  * anti-diagonal banded edit-distance DP: the wavefront over s=i+j has no
+    intra-step dependency, so each step is pure elementwise min/add over a
+    [batch, band] tile; sequences are read with contiguous dynamic slices
+    (no gathers, which TPUs hate)
+  * the band window tracks the main diagonal (i ~ j); overlap extensions
+    start from a chained seed anchor so residual diagonal drift is a random
+    walk of the indel imbalance, far below the band radius
+  * "extension" semantics: the DP runs until the band has passed every
+    boundary cell (i == q_len or j == t_len); the best boundary cell under
+    score = (i+j) - end_bonus*D is the overlap end, mirroring the greedy
+    aligner's reach-either-end behavior
+  * int16 distances in VMEM, one [B, W] tile per step; batch entries are
+    independent, so forward and backward extensions of the same pair ride
+    the same batch
+
+Unlike ops.align (bit-exact vs the reference C, used where alignment
+STRINGS feed consensus), this kernel only needs faithful end coordinates
+and distances: the reference treats its overlapper as a black box and only
+consumes overlap records (SURVEY.md "daligner semantics without daligner").
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF = np.int32(1 << 20)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "end_bonus"))
+def extend_batch_device(q, qlen, t, tlen, W=512, end_bonus=3):
+    """Banded edit-distance extension for a batch of sequence pairs.
+
+    q: [B, Lq] int32 codes (0..3; pad with 4), qlen: [B] int32
+    t: [B, Lt] int32 codes (0..3; pad with 5), tlen: [B] int32
+    Returns (best_i, best_j, best_d): per pair, the boundary cell
+    (i == qlen or j == tlen) maximizing (i+j) - end_bonus*d, and its edit
+    distance.  (0, 0, 0) means no extension.
+    """
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    S_max = Lq + Lt
+
+    # qpad1[x] == q[x-1] (left-shifted view for the i-1 char reads)
+    qpad1 = jnp.pad(q.astype(jnp.int32), ((0, 0), (1, W + 2)),
+                    constant_values=4)
+    # reversed t so the antidiagonal's t-chars are an ascending slice
+    rt = jnp.flip(t.astype(jnp.int32), axis=1)
+    rtpad = jnp.pad(rt, ((0, 0), (W + 2, W + 2)), constant_values=5)
+
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]          # [1, W]
+    qlenc = qlen.astype(jnp.int32)[:, None]                   # [B, 1]
+    tlenc = tlen.astype(jnp.int32)[:, None]
+
+    def off_of(s):
+        return jnp.maximum(0, s // 2 - W // 2)
+
+    def shift(prev, delta):
+        """prev: [B, W] -> out[l] = prev[l + delta], INF beyond the edges
+        (delta in [-1, 2])."""
+        p = jnp.pad(prev, ((0, 0), (2, 2)), constant_values=INF)
+        return jax.lax.dynamic_slice(p, (0, delta + 2), (B, W))
+
+    def body(carry, s):
+        prev, prev2, best_score, best_i, best_j, best_d = carry
+        o = off_of(s)
+        o1 = off_of(s - 1)
+        o2 = off_of(s - 2)
+        d1 = o - o1
+        d2 = o - o2
+
+        i = o + lanes                                         # [B(1), W]
+        j = s - i
+
+        up = shift(prev, d1)          # D[i, j-1]  (prev at l + d1)
+        left = shift(prev, d1 - 1)    # D[i-1, j]
+        diag = shift(prev2, d2 - 1)   # D[i-1, j-1]
+
+        # chars: q[i-1] = qpad1[o + l]
+        qc_im1 = jax.lax.dynamic_slice(qpad1, (0, o), (B, W))
+        # t[j-1] = rt[Lt - j] -> padded index (W+2) + Lt - j
+        #        = (W+2) + Lt - s + o + l : ascending slice at offset
+        tc_jm1 = jax.lax.dynamic_slice(rtpad, (0, (W + 2) + Lt - s + o),
+                                       (B, W))
+
+        sub = jnp.where(qc_im1 == tc_jm1, 0, 1)
+        cand = jnp.minimum(jnp.minimum(up + 1, left + 1), diag + sub)
+
+        # DP boundary rows/cols
+        cand = jnp.where(i == 0, j, cand)
+        cand = jnp.where(j == 0, i, cand)
+
+        valid = (i >= 0) & (i <= qlenc) & (j >= 0) & (j <= tlenc)
+        cur = jnp.where(valid, cand, INF)
+
+        at_end = valid & ((i == qlenc) | (j == tlenc))
+        score = jnp.where(at_end, (i + j) - end_bonus * cur, -INF)
+        lane_best = jnp.argmax(score, axis=1)
+        lane_score = jnp.take_along_axis(score, lane_best[:, None],
+                                         axis=1)[:, 0]
+        improved = lane_score > best_score
+        li = jnp.take_along_axis(i + jnp.zeros_like(score),
+                                 lane_best[:, None], axis=1)[:, 0]
+        lj = jnp.take_along_axis(j + jnp.zeros_like(score),
+                                 lane_best[:, None], axis=1)[:, 0]
+        ld = jnp.take_along_axis(cur, lane_best[:, None], axis=1)[:, 0]
+        best_score = jnp.where(improved, lane_score, best_score)
+        best_i = jnp.where(improved, li, best_i)
+        best_j = jnp.where(improved, lj, best_j)
+        best_d = jnp.where(improved, ld, best_d)
+
+        return (cur, prev, best_score, best_i, best_j, best_d), None
+
+    zeros = jnp.zeros((B,), dtype=jnp.int32)
+    # the s=0 antidiagonal holds D[0,0] = 0 at lane 0 (offset 0)
+    prev0 = jnp.full((B, W), INF, jnp.int32).at[:, 0].set(0)
+    init = (prev0,
+            jnp.full((B, W), INF, jnp.int32),
+            jnp.full((B,), -INF, jnp.int32), zeros, zeros, zeros)
+    (prev, prev2, bs, bi, bj, bd), _ = jax.lax.scan(
+        body, init, jnp.arange(1, S_max + 1, dtype=jnp.int32))
+    found = bs > -INF
+    return (jnp.where(found, bi, 0), jnp.where(found, bj, 0),
+            jnp.where(found, bd, 0))
+
+
+class DeviceExtender:
+    """Length-bucketed batching front-end for extend_batch_device.
+
+    Collects (q_codes, t_codes) extension tasks, pads them into power-of-2
+    buckets and runs the device kernel; returns per-task (i, j, d).
+    """
+
+    def __init__(self, W=512, end_bonus=3, max_batch=128):
+        self.W = W
+        self.end_bonus = end_bonus
+        self.max_batch = max_batch
+
+    def run(self, tasks):
+        """tasks: list of (q_codes uint8, t_codes uint8).  Returns
+        list of (i, j, d) per task."""
+        if not tasks:
+            return []
+        results = [None] * len(tasks)
+        # bucket by max(len) rounded to power of two
+        buckets = {}
+        for idx, (qc, tc) in enumerate(tasks):
+            m = max(len(qc), len(tc), 1)
+            L = 1 << int(np.ceil(np.log2(m)))
+            L = max(L, 256)
+            buckets.setdefault(L, []).append(idx)
+        for L, idxs in buckets.items():
+            for ofs in range(0, len(idxs), self.max_batch):
+                chunk = idxs[ofs:ofs + self.max_batch]
+                # pad the batch dim to a power of two so jit shapes recur
+                B = 1 << int(np.ceil(np.log2(max(len(chunk), 8))))
+                q = np.full((B, L), 4, dtype=np.int32)
+                t = np.full((B, L), 5, dtype=np.int32)
+                qlen = np.zeros(B, dtype=np.int32)
+                tlen = np.zeros(B, dtype=np.int32)
+                for bi_, idx in enumerate(chunk):
+                    qc, tc = tasks[idx]
+                    q[bi_, :len(qc)] = qc
+                    t[bi_, :len(tc)] = tc
+                    qlen[bi_] = len(qc)
+                    tlen[bi_] = len(tc)
+                bi, bj, bd = extend_batch_device(
+                    jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
+                    jnp.asarray(tlen), W=self.W, end_bonus=self.end_bonus)
+                bi = np.asarray(bi)
+                bj = np.asarray(bj)
+                bd = np.asarray(bd)
+                for k, idx in enumerate(chunk):
+                    results[idx] = (int(bi[k]), int(bj[k]), int(bd[k]))
+        return results

@@ -1,0 +1,113 @@
+"""ctypes binding for the native (C++) host kernels.
+
+Builds falcon_tpu/native/falcon_native.cpp on first use (g++ -O2 -shared)
+into a cache dir and exposes:
+
+  * align(query, target, band_tolerance, get_aln_str) -- same signature
+    and semantics as falcon_tpu.ops.align.align
+  * generate_consensus(seqs, min_cov, K, min_idt) -- same as
+    falcon_tpu.ops.consensus_dp.generate_consensus
+
+available() reports whether the native library could be built/loaded;
+callers fall back to the pure-python kernels otherwise.
+"""
+import ctypes
+import logging
+import os
+import subprocess
+import tempfile
+
+LOG = logging.getLogger(__name__)
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    os.pardir, "native", "falcon_native.cpp")
+_lib = None
+_tried = False
+
+
+def _build_and_load():
+    src = os.path.abspath(_SRC)
+    cache = os.environ.get("FTPU_NATIVE_CACHE",
+                           os.path.join(tempfile.gettempdir(),
+                                        "ftpu_native"))
+    os.makedirs(cache, exist_ok=True)
+    so = os.path.join(cache, "libfalcon_native.so")
+    if not os.path.exists(so) or \
+            os.path.getmtime(so) < os.path.getmtime(src):
+        tmp = so + ".tmp.%d" % os.getpid()
+        cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", src, "-o", tmp]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, so)
+    lib = ctypes.CDLL(so)
+    lib.ftpu_generate_consensus.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_uint, ctypes.c_uint,
+        ctypes.c_uint, ctypes.c_double]
+    lib.ftpu_generate_consensus.restype = ctypes.c_void_p
+    lib.ftpu_free.argtypes = [ctypes.c_void_p]
+    lib.ftpu_align.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p)]
+    lib.ftpu_align.restype = ctypes.c_int
+    return lib
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is None and not _tried:
+        _tried = True
+        try:
+            _lib = _build_and_load()
+        except Exception as e:
+            LOG.warning("native kernels unavailable (%s); "
+                        "falling back to python", e)
+    return _lib
+
+
+def available():
+    return get_lib() is not None
+
+
+def _as_bytes(s):
+    if isinstance(s, bytes):
+        return s
+    if isinstance(s, str):
+        return s.encode()
+    return bytes(s)
+
+
+def align(query, target, band_tolerance, get_aln_str=True):
+    """Native banded O(ND) alignment; returns an ops.align.Alignment."""
+    from . import align as _pyalign
+    lib = get_lib()
+    q = _as_bytes(query)
+    t = _as_bytes(target)
+    out6 = (ctypes.c_int * 6)()
+    qa = ctypes.c_void_p()
+    ta = ctypes.c_void_p()
+    ok = lib.ftpu_align(q, len(q), t, len(t), band_tolerance,
+                        1 if get_aln_str else 0, out6,
+                        ctypes.byref(qa), ctypes.byref(ta))
+    rtn = _pyalign.Alignment()
+    if ok:
+        (rtn.aln_q_s, rtn.aln_q_e, rtn.aln_t_s, rtn.aln_t_e,
+         rtn.dist, rtn.aln_str_size) = [int(x) for x in out6]
+    if get_aln_str:
+        if qa.value:
+            rtn.q_aln_str = ctypes.string_at(qa.value) if ok else b""
+            lib.ftpu_free(qa)
+        if ta.value:
+            rtn.t_aln_str = ctypes.string_at(ta.value) if ok else b""
+            lib.ftpu_free(ta)
+    return rtn
+
+
+def generate_consensus(seqs, min_cov, K, min_idt):
+    lib = get_lib()
+    arr = (ctypes.c_char_p * len(seqs))()
+    arr[:] = [_as_bytes(s) for s in seqs]
+    p = lib.ftpu_generate_consensus(arr, len(seqs), min_cov, K, min_idt)
+    try:
+        return ctypes.string_at(p).decode()
+    finally:
+        lib.ftpu_free(p)

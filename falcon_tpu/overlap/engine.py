@@ -317,6 +317,13 @@ def extend_pairs_host(store, index, rids_a, cands, params):
     return out
 
 
+def _host_align(q, t, band, want_strings):
+    from ..ops import native
+    if native.available():
+        return native.align(q, t, band, want_strings)
+    return _align.align(q, t, band, want_strings)
+
+
 def extend_one(a_codes, b_codes, qa, ta, params):
     """Extend an anchor (qa, ta) to both ends with the banded O(ND)
     aligner.  Returns (a_s, a_e, b_s, b_e, dist, aln_len) in the
@@ -325,11 +332,11 @@ def extend_one(a_codes, b_codes, qa, ta, params):
     a_ascii = _codes_to_ascii(a_codes)
     b_ascii = _codes_to_ascii(b_codes)
 
-    fwd = _align.align(a_ascii[qa:], b_ascii[ta:], band, False)
+    fwd = _host_align(a_ascii[qa:], b_ascii[ta:], band, False)
     if fwd.aln_str_size == 0 and (len(a_ascii) - qa) > 0 and \
             (len(b_ascii) - ta) > 0:
         return None
-    bwd = _align.align(a_ascii[:qa][::-1], b_ascii[:ta][::-1], band, False)
+    bwd = _host_align(a_ascii[:qa][::-1], b_ascii[:ta][::-1], band, False)
     if bwd.aln_str_size == 0 and qa > 0 and ta > 0:
         return None
     a_s = qa - bwd.aln_q_e
@@ -339,6 +346,54 @@ def extend_one(a_codes, b_codes, qa, ta, params):
     dist = fwd.dist + bwd.dist
     aln_len = ((a_e - a_s) + (b_e - b_s)) // 2
     return a_s, a_e, b_s, b_e, dist, aln_len
+
+
+def make_device_aligner(W=512, end_bonus=3, max_batch=512):
+    """Batched TPU extension path: both extensions of every candidate ride
+    one device batch (see ops.align_device)."""
+    from ..ops.align_device import DeviceExtender
+    ext = DeviceExtender(W=W, end_bonus=end_bonus, max_batch=max_batch)
+
+    def aligner(store, index, rids_a, cands, params):
+        tasks = []
+        meta = []
+        for (ai, bi, strand, qa, ta, n_seeds) in cands:
+            a_rid = int(rids_a[ai])
+            a_codes = store.get_codes(a_rid)
+            bo = index.offsets[bi]
+            blen = int(index.lens[bi])
+            b_codes = (index.fwd if strand == 0 else index.rev)[bo:bo + blen]
+            tasks.append((a_codes[qa:], b_codes[ta:]))            # fwd
+            tasks.append((a_codes[:qa][::-1], b_codes[:ta][::-1]))  # bwd
+            meta.append((ai, bi, strand, qa, ta, len(a_codes), blen))
+        res = ext.run(tasks)
+        out = []
+        for m, k in zip(meta, range(0, len(res), 2)):
+            ai, bi, strand, qa, ta, a_len, blen = m
+            fi, fj, fd = res[k]
+            bi_, bj_, bd_ = res[k + 1]
+            a_s, b_s = qa - bi_, ta - bj_
+            a_e, b_e = qa + fi, ta + fj
+            dist = fd + bd_
+            aln_len = ((a_e - a_s) + (b_e - b_s)) // 2
+            if aln_len < params.min_overlap:
+                continue
+            idt = 100.0 * (1.0 - dist / max(1, aln_len))
+            if idt < 100.0 * params.min_idt:
+                continue
+            if strand == 1:
+                b_s, b_e = blen - b_e, blen - b_s
+            klass = R.classify(strand, a_s, a_e, a_len, b_s, b_e, blen)
+            if klass == R.NONE:
+                continue
+            a_rid = int(rids_a[ai])
+            b_rid = int(index.rids[bi])
+            out.append(R.Overlap("%09d" % a_rid, "%09d" % b_rid,
+                                 -(a_e - a_s), idt, 0, a_s, a_e, a_len,
+                                 strand, b_s, b_e, blen, klass))
+        return out
+
+    return aligner
 
 
 def emit_symmetric(overlaps):

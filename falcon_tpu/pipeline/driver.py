@@ -1,0 +1,301 @@
+"""Pipeline driver: raw reads -> preads -> string graph -> contigs + GFA.
+
+The fc_run replacement (reference: falcon_kit/mains/run1.py + the pypeFLOW
+task DAG + generated bash, falcon_kit/pype_tasks.py).  Where the reference
+runs a file-based task DAG across a cluster, this driver runs three
+in-process phases with artifact checkpointing -- the filesystem layout
+mirrors the reference (0-rawreads/, 1-preads_ovl/, 2-asm-falcon/,
+reference: run1.py:176-178) and resume works by artifact presence
+(reference: SURVEY.md section 5 checkpoint/resume).
+
+Usage:  python -m falcon_tpu.pipeline.driver fc_run.cfg
+"""
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+from .. import config as config_mod
+from ..cns import runner as cns_runner
+from ..graph import to_contig, unitigs
+from ..graph.collect_gfa import collect_contig_gfa, collect_pread_gfa
+from ..graph.gfa import deserialize_gfa
+from ..io import fasta, readstore
+from ..overlap import engine, filter as ofilter, records
+from . import stats as stats_mod
+
+LOG = logging.getLogger(__name__)
+
+
+def _done(path):
+    return os.path.exists(path)
+
+
+class Pipeline:
+    def __init__(self, cfg_path, out_dir=".", use_device=None):
+        self.cfg = config_mod.parse_cfg_file(cfg_path)
+        self.p = config_mod.StageParams(self.cfg)
+        if use_device is not None:
+            self.p.use_device = use_device
+        self.out_dir = os.path.abspath(out_dir)
+        self.dir0 = os.path.join(self.out_dir, "0-rawreads")
+        self.dir1 = os.path.join(self.out_dir, "1-preads_ovl")
+        self.dir2 = os.path.join(self.out_dir, "2-asm-falcon")
+        for d in (self.dir0, self.dir1, self.dir2):
+            os.makedirs(d, exist_ok=True)
+        self.timings = {}
+
+    # -- helpers -----------------------------------------------------------
+    def _engine_params(self, stage):
+        p = self.p
+        if stage == 0:
+            return engine.OverlapParams(
+                k=p.overlap_k, min_hits=p.overlap_min_hits,
+                band_tolerance=p.overlap_band,
+                min_overlap=p.raw_ovl_minlen, min_idt=p.raw_ovl_idt)
+        return engine.OverlapParams(
+            k=p.overlap_k, min_hits=p.overlap_min_hits,
+            band_tolerance=p.overlap_band,
+            min_overlap=p.pr_ovl_minlen, min_idt=p.pr_ovl_idt)
+
+    def _aligner(self):
+        if self.p.use_device:
+            try:
+                import jax
+                cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                       "/tmp/ftpu_jax_cache")
+                os.makedirs(cache, exist_ok=True)
+                try:
+                    jax.config.update("jax_compilation_cache_dir", cache)
+                except Exception:
+                    pass
+                jax.devices()  # force backend init; may raise if the chip
+                # is held by another process
+                return engine.make_device_aligner(
+                    W=max(256, 2 * self.p.overlap_band))
+            except Exception as e:  # no usable device: host fallback
+                LOG.warning("device aligner unavailable (%s); using host", e)
+        return None
+
+    def _overlap_store(self, store, params, tag):
+        """All-vs-all overlap across the store's blocks; returns the
+        symmetric record list (the .las-merge equivalent, in RAM)."""
+        blocks = store.blocks or store.split_blocks()
+        aligner = self._aligner()
+        all_ovls = []
+        n_pairs = len(blocks) * (len(blocks) + 1) // 2
+        k = 0
+        for i in range(len(blocks)):
+            for j in range(i, len(blocks)):
+                k += 1
+                t0 = time.time()
+                ovls = engine.overlap_blocks(
+                    store, blocks[i], blocks[j], params, aligner=aligner,
+                    same_block=(i == j))
+                if i != j:
+                    # the (j, i) comparison is implied by symmetry
+                    pass
+                all_ovls.extend(ovls)
+                LOG.info("%s: block (%d,%d) %d/%d: %d overlaps in %.1fs",
+                         tag, i, j, k, n_pairs, len(ovls), time.time() - t0)
+        return engine.emit_symmetric(all_ovls)
+
+    # -- phase 0: raw reads -> preads --------------------------------------
+    def phase0(self):
+        preads_fn = os.path.join(self.dir0, "preads.fasta")
+        if _done(preads_fn):
+            LOG.info("phase0: %s exists; skipping", preads_fn)
+            return preads_fn
+        t_start = time.time()
+        p = self.p
+
+        store_fn = os.path.join(self.dir0, "raw_reads")
+        if _done(store_fn + ".npz"):
+            store = readstore.ReadStore.load(store_fn)
+        else:
+            fofn = self.cfg["input_fofn"]
+            paths = fasta.read_fofn(fofn) if fofn.endswith(".fofn") \
+                else [fofn]
+            store = readstore.ReadStore.from_fasta_files(
+                paths, min_len=p.raw_min_len)
+            store.split_blocks(int(p.raw_block_mb * 1e6))
+            store.save(store_fn)
+        LOG.info("phase0: %d raw reads, %d bases, %d blocks",
+                 len(store), store.total_bases, len(store.blocks))
+
+        # seed length cutoff (reference: functional.calc_cutoff via
+        # DBstats histogram; -H semantics)
+        if p.length_cutoff >= 0:
+            cutoff = p.length_cutoff
+        else:
+            cutoff = store.calc_length_cutoff(p.seed_coverage, p.genome_size)
+        LOG.info("phase0: seed length cutoff %d", cutoff)
+        with open(os.path.join(self.dir0, "length_cutoff"), "w") as f:
+            f.write(str(cutoff) + "\n")
+
+        recs = self._overlap_store(store, self._engine_params(0), "phase0")
+        self.timings["phase0_overlap"] = time.time() - t_start
+        ovl_fn = os.path.join(self.dir0, "raw_overlaps.ovl")
+        records.write_overlaps(ovl_fn, recs, terminator=True)
+
+        # group by seed (LA4Falcon -H<cutoff> -fo semantics: A-read is the
+        # seed; B reads are supports, RC'd onto the seed's strand)
+        t_cns = time.time()
+        ccfg = cns_runner.ConsensusConfig.from_option_string(
+            p.falcon_sense_option)
+
+        def groups():
+            cur_seed = None
+            cur = []
+            for o in recs:
+                if o.a_id != cur_seed:
+                    if cur_seed is not None:
+                        yield self._make_group(store, cur_seed, cur, cutoff)
+                    cur_seed = o.a_id
+                    cur = []
+                cur.append(o)
+            if cur_seed is not None:
+                yield self._make_group(store, cur_seed, cur, cutoff)
+
+        emitted = 0
+        with open(preads_fn + ".tmp", "w") as out:
+            for g in groups():
+                if g is None:
+                    continue
+                seed_id, seqs_with_ids = g
+                gated = cns_runner.gate_group(seed_id, seqs_with_ids, ccfg)
+                if gated is None:
+                    continue
+                cns, sid = cns_runner.consensus_for_group(seed_id, gated,
+                                                          ccfg)
+                emitted += cns_runner.format_output(cns, sid, ccfg, out)
+        os.rename(preads_fn + ".tmp", preads_fn)
+        self.timings["phase0_consensus"] = time.time() - t_cns
+        LOG.info("phase0: %d pread sequences -> %s", emitted, preads_fn)
+
+        # pre-assembly stats report (reference: stats_preassembly.py)
+        try:
+            report = stats_mod.preassembly_report(
+                store, preads_fn, cutoff, p.genome_size)
+            import json
+            with open(os.path.join(self.dir0, "pre_assembly_stats.json"),
+                      "w") as f:
+                json.dump(report, f, indent=2)
+        except Exception:
+            LOG.exception("phase0: stats report failed (non-fatal)")
+        return preads_fn
+
+    def _make_group(self, store, seed_id, ovls, cutoff):
+        rid = int(seed_id)
+        if store.lengths[rid] < cutoff:
+            return None
+        seed_seq = store.get_seq(rid)
+        out = [(seed_id, seed_seq)]
+        for o in ovls:
+            b_rid = int(o.b_id)
+            codes = store.get_codes(b_rid)
+            if o.b_strand == 1:
+                codes = readstore.revcomp_codes(codes)
+            out.append((o.b_id, readstore.decode_seq(codes)))
+        return seed_id, out
+
+    # -- phase 1: pread overlap --------------------------------------------
+    def phase1(self, preads_fn):
+        ovl_fn = os.path.join(self.dir1, "preads.ovl")
+        p4f = os.path.join(self.dir2, "preads4falcon.fasta")
+        if _done(ovl_fn) and _done(p4f):
+            LOG.info("phase1: %s exists; skipping", ovl_fn)
+            return ovl_fn
+        t_start = time.time()
+        p = self.p
+
+        store = readstore.ReadStore.from_fasta_files(
+            [preads_fn], min_len=p.pr_min_len)
+        store.split_blocks(int(p.pr_block_mb * 1e6))
+        LOG.info("phase1: %d preads, %d bases", len(store),
+                 store.total_bases)
+        # renumber preads: DB2Falcon gives dense %09d ids
+        names = ["%09d" % i for i in range(len(store))]
+        store.names = names
+        fasta.write_fasta(p4f, ((names[i], store.get_seq(i))
+                                for i in range(len(store))))
+
+        recs = self._overlap_store(store, self._engine_params(1), "phase1")
+        self.timings["phase1_overlap"] = time.time() - t_start
+
+        lines = [r.to_line() for r in recs]
+        with open(ovl_fn + ".tmp", "w") as f:
+            ofilter.run_ovlp_filter(
+                f, [lambda L=lines: L], max_diff=p.filt_max_diff,
+                max_cov=p.filt_max_cov, min_cov=p.filt_min_cov,
+                min_len=p.filt_min_len, bestn=p.filt_bestn)
+        os.rename(ovl_fn + ".tmp", ovl_fn)
+        return ovl_fn
+
+    # -- phase 2: assembly --------------------------------------------------
+    def phase2(self, ovl_fn):
+        d = self.dir2
+        p = self.p
+        if not _done(os.path.join(d, "p_ctg.fa")):
+            t0 = time.time()
+            local_ovl = os.path.join(d, "preads.ovl")
+            if os.path.abspath(ovl_fn) != os.path.abspath(local_ovl):
+                import shutil
+                shutil.copyfile(ovl_fn, local_ovl)
+            unitigs.ovlp_to_graph(local_ovl, d, min_len=p.graph_min_len,
+                                  min_idt=p.graph_min_idt, lfc=p.graph_lfc)
+            to_contig.run(d)
+            to_contig.dedup_a_tigs(d)
+            self.timings["phase2_graph"] = time.time() - t0
+
+        # GFA outputs (reference: TASK_RUN_FALCON_ASM_SCRIPT,
+        # pype_tasks.py:121-164)
+        cwd = os.getcwd()
+        os.chdir(d)
+        try:
+            with open("asm.gfa.json", "w") as f:
+                collect_pread_gfa(f)
+            with open("sg.gfa.json", "w") as f:
+                collect_pread_gfa(f, add_string_graph=True)
+            with open("contig.gfa2.json", "w") as f:
+                collect_contig_gfa(f)
+            with open("asm.gfa.json") as j, open("asm.gfa", "w") as f:
+                deserialize_gfa(j).write_gfa_v1(f)
+            with open("sg.gfa.json") as j, open("sg.gfa", "w") as f:
+                deserialize_gfa(j).write_gfa_v1(f)
+            with open("contig.gfa2.json") as j, open("contig.gfa2", "w") as f:
+                deserialize_gfa(j).write_gfa_v2(f)
+        finally:
+            os.chdir(cwd)
+        return os.path.join(d, "p_ctg.fa")
+
+    def run(self):
+        t0 = time.time()
+        preads = self.phase0()
+        ovl = self.phase1(preads)
+        p_ctg = self.phase2(ovl)
+        self.timings["total"] = time.time() - t0
+        LOG.info("pipeline done in %.1fs -> %s", self.timings["total"],
+                 p_ctg)
+        return p_ctg
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    if not argv:
+        print("usage: python -m falcon_tpu.pipeline.driver <cfg> [out_dir]",
+              file=sys.stderr)
+        return 2
+    cfg = argv[0]
+    out_dir = argv[1] if len(argv) > 1 else "."
+    Pipeline(cfg, out_dir).run()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
