@@ -2,7 +2,10 @@
 multi-chip sharding logic is exercised without TPU hardware."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# neutralize the axon TPU sitecustomize (it force-registers the TPU
+# backend even when JAX_PLATFORMS=cpu)
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
