@@ -52,16 +52,29 @@ def make_pairs(B, L, err, seed=0):
 def bench_device(q, qlen, t, tlen, W=256, iters=3):
     import jax
     import jax.numpy as jnp
-    from falcon_tpu.ops.align_device import extend_batch_device
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ftpu_jax_cache")
 
-    args = (jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
-            jnp.asarray(tlen))
-    r = extend_batch_device(*args, W=W)
-    _ = [np.asarray(x) for x in r]  # compile + force
+    def run_pallas():
+        from falcon_tpu.ops.align_pallas import extend_batch_pallas
+        args = (jnp.asarray(q.astype(np.int8)), jnp.asarray(qlen),
+                jnp.asarray(t.astype(np.int8)), jnp.asarray(tlen))
+        return lambda: extend_batch_pallas(*args, W=W, block_b=256)
+
+    def run_xla():
+        from falcon_tpu.ops.align_device import extend_batch_device
+        args = (jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
+                jnp.asarray(tlen))
+        return lambda: extend_batch_device(*args, W=W)
+
+    try:
+        fn = run_pallas()
+        _ = [np.asarray(x) for x in fn()]  # compile + force
+    except Exception:
+        fn = run_xla()
+        _ = [np.asarray(x) for x in fn()]
     t0 = time.time()
     for _ in range(iters):
-        r = extend_batch_device(*args, W=W)
-        _ = [np.asarray(x) for x in r]
+        _ = [np.asarray(x) for x in fn()]
     dt = (time.time() - t0) / iters
     bases = float(np.minimum(qlen, tlen).sum())
     return bases / dt

@@ -64,16 +64,16 @@ def get_aln_data(t_seq, q_seq):
 
 
 def _dijkstra(adj, src, dst):
-    """(path, dist) with networkx-compatible tie behavior; None if
-    unreachable.  adj: node -> list[(neighbor, weight)] in insertion
-    order."""
+    """(path, dist); None if unreachable.  Matches networkx 1.x
+    single_source_dijkstra tie behavior: heap entries are (dist, node), so
+    equal-distance ties resolve by node-name comparison.
+    adj: node -> list[(neighbor, weight)] in insertion order."""
     dist = {}
     seen = {src: 0}
     paths = {src: [src]}
-    c = 0
-    pq = [(0, c, src)]
+    pq = [(0, src)]
     while pq:
-        d, _, v = heapq.heappop(pq)
+        d, v = heapq.heappop(pq)
         if v in dist:
             continue
         dist[v] = d
@@ -84,8 +84,7 @@ def _dijkstra(adj, src, dst):
             if u not in dist and (u not in seen or vu < seen[u]):
                 seen[u] = vu
                 paths[u] = paths[v] + [u]
-                c += 1
-                heapq.heappush(pq, (vu, c, u))
+                heapq.heappush(pq, (vu, u))
     return None, None
 
 

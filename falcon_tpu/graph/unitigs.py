@@ -28,6 +28,121 @@ from .sg import reverse_end, build_string_graph
 LOG = logging.getLogger(__name__)
 
 
+class NoPathError(Exception):
+    pass
+
+
+class PopSet:
+    """A pop-able working set with two orderings.
+
+    deterministic mode (default): insertion-ordered (LIFO pop) -- makes
+    falcon_tpu output reproducible across runs.
+    compat mode: a real python set with set.pop() -- bit-compatible with
+    the reference's hash-ordered traversal when run in the same
+    interpreter (the reference's own output depends on PYTHONHASHSEED
+    through these pops; see tests/test_stage2_parity.py).
+    """
+
+    def __init__(self, items=(), compat=False):
+        self.compat = compat
+        self._d = set(items) if compat else dict.fromkeys(items)
+
+    def add(self, x):
+        if self.compat:
+            self._d.add(x)
+        else:
+            self._d[x] = None
+
+    def pop(self):
+        if self.compat:
+            return self._d.pop()
+        k, _ = self._d.popitem()
+        return k
+
+    def peek(self):
+        """First element without removing (the reference pops and
+        re-adds, ovlp_to_graph.py:1069-1070)."""
+        if self.compat:
+            e = self._d.pop()
+            self._d.add(e)
+            return e
+        return next(iter(self._d))
+
+    def remove(self, x):
+        if self.compat:
+            self._d.remove(x)
+        else:
+            del self._d[x]
+
+    def discard(self, x):
+        if self.compat:
+            self._d.discard(x)
+        else:
+            self._d.pop(x, None)
+
+    def __contains__(self, x):
+        return x in self._d
+
+    def __len__(self):
+        return len(self._d)
+
+    def __iter__(self):
+        return iter(self._d)
+
+
+def nx1_bidirectional_shortest_path(successors, predecessors, source,
+                                    target):
+    """Unweighted shortest path with networkx-1.x bidirectional BFS
+    semantics (meet-in-the-middle, smaller fringe expanded first, first
+    meeting node wins).  successors/predecessors: node -> neighbor list in
+    adjacency order."""
+    if source == target:
+        return [source]
+    pred = {source: None}
+    succ = {target: None}
+    forward = [source]
+    reverse = [target]
+    meet = None
+    while forward and reverse and meet is None:
+        if len(forward) <= len(reverse):
+            level, forward = forward, []
+            for v in level:
+                for w in successors(v):
+                    if w not in pred:
+                        forward.append(w)
+                        pred[w] = v
+                    if w in succ:
+                        meet = w
+                        break
+                if meet is not None:
+                    break
+        else:
+            level, reverse = reverse, []
+            for v in level:
+                for w in predecessors(v):
+                    if w not in succ:
+                        succ[w] = v
+                        reverse.append(w)
+                    if w in pred:
+                        meet = w
+                        break
+                if meet is not None:
+                    break
+    if meet is None:
+        raise NoPathError("no path %s -> %s" % (source, target))
+    path = []
+    w = meet
+    while w is not None:
+        path.append(w)
+        w = pred[w]
+    path.reverse()
+    w = succ[meet]
+    while w is not None:
+        path.append(w)
+        w = succ[w]
+    return path
+
+
 class MultiDiGraph:
     """Minimal keyed multigraph: edges are (s, t, key) with insertion-order
     adjacency (what networkx 1.x gave the reference)."""
@@ -128,26 +243,13 @@ class MultiDiGraph:
         return g
 
     def bfs_path(self, src, dst):
-        """Unweighted shortest path (nx.shortest_path without weight),
-        deterministic via adjacency order."""
-        if src == dst:
-            return [src]
-        prev = {src: None}
-        frontier = [src]
-        while frontier:
-            nxt = []
-            for v in frontier:
-                for (_, w, _k) in self.out.get(v, ()):
-                    if w not in prev:
-                        prev[w] = v
-                        if w == dst:
-                            path = [w]
-                            while prev[path[-1]] is not None:
-                                path.append(prev[path[-1]])
-                            return path[::-1]
-                        nxt.append(w)
-            frontier = nxt
-        raise KeyError("no path %s -> %s" % (src, dst))
+        """Unweighted shortest path with networkx-1.x bidirectional-BFS
+        semantics (tie behavior identical to the reference's
+        nx.shortest_path)."""
+        return nx1_bidirectional_shortest_path(
+            lambda v: [w for (_, w, _k) in self.out.get(v, ())],
+            lambda v: [u for (u, _, _k) in self.inc.get(v, ())],
+            src, dst)
 
 
 class DiGraph:
@@ -187,11 +289,11 @@ class DiGraph:
         return list(self.inc.get(n, ()))
 
 
-def identify_simple_paths(sg2, edge_data):
+def identify_simple_paths(sg2, edge_data, compat=False):
     """Maximal simple paths of the reduced graph + their reverse duals
     (reference: identify_simple_paths, ovlp_to_graph.py:1029-1140)."""
     simple_paths = {}
-    s_nodes = {}
+    s_nodes = PopSet(compat=compat)
     simple_nodes = set()
     for n in sg2.nodes():
         ind = len(sg2.in_edges(n))
@@ -200,15 +302,15 @@ def identify_simple_paths(sg2, edge_data):
             simple_nodes.add(n)
         else:
             if outd != 0:
-                s_nodes[n] = None
+                s_nodes.add(n)
 
-    free_edges = dict.fromkeys(sg2.edges())
+    free_edges = PopSet(sg2.edges(), compat=compat)
 
     while free_edges:
         if s_nodes:
-            n, _ = s_nodes.popitem()
+            n = s_nodes.pop()
         else:
-            n = next(iter(free_edges))[0]
+            n = free_edges.peek()[0]
 
         for (v, w) in sg2.out_edges(n):
             if (v, w) not in free_edges:
@@ -219,14 +321,14 @@ def identify_simple_paths(sg2, edge_data):
             path_edges = {(v, w)}
             path_length = edge_data[(v, w)][3]
             path_score = edge_data[(v, w)][4]
-            del free_edges[(v, w)]
+            free_edges.remove((v, w))
             v0, w0 = v, w
 
             r_path = [rv, rw]
             r_path_edges = {(rw, rv)}
             r_path_length = edge_data[(rw, rv)][3]
             r_path_score = edge_data[(rw, rv)][4]
-            del free_edges[(rw, rv)]
+            free_edges.remove((rw, rv))
             rv0, rw0 = rv, rw
 
             while w in simple_nodes:
@@ -240,13 +342,13 @@ def identify_simple_paths(sg2, edge_data):
                 path_edges.add((w, w_))
                 path_length += edge_data[(w, w_)][3]
                 path_score += edge_data[(w, w_)][4]
-                del free_edges[(w, w_)]
+                free_edges.remove((w, w_))
 
                 r_path.append(rw_)
                 r_path_edges.add((rw_, rw))
                 r_path_length += edge_data[(rw_, rw)][3]
                 r_path_score += edge_data[(rw_, rw)][4]
-                del free_edges[(rw_, rw)]
+                free_edges.remove((rw_, rw))
                 w = w_
 
             simple_paths[(v0, w0, path[-1])] = (path_length, path_score, path)
@@ -257,15 +359,16 @@ def identify_simple_paths(sg2, edge_data):
     return simple_paths
 
 
-def identify_spurs(ug, u_edge_data, spur_len):
+def identify_spurs(ug, u_edge_data, spur_len, compat=False):
     """Remove short dead-end paths feeding into branch nodes
     (reference: identify_spurs, ovlp_to_graph.py:1143-1216).
     Side effect: marks removed utg edges "spur:2" in u_edge_data."""
     ug2 = ug.copy()
-    s_candidates = {v: None for v in ug2.nodes() if ug2.in_degree(v) == 0}
+    s_candidates = PopSet((v for v in ug2.nodes() if ug2.in_degree(v) == 0),
+                          compat=compat)
 
     while s_candidates:
-        n, _ = s_candidates.popitem()
+        n = s_candidates.pop()
         if ug2.in_degree(n) != 0:
             continue
         ego = ug2.ego_nodes(n, 10)
@@ -307,7 +410,7 @@ def identify_spurs(ug, u_edge_data, spur_len):
                     except KeyError:
                         pass
                 if ug2.in_degree(v2) == 0:
-                    s_candidates[v2] = None
+                    s_candidates.add(v2)
                 v1 = v2
             break
     return ug2
@@ -462,13 +565,17 @@ def find_bundle(ug, u_edge_data, start_node, depth_cutoff, width_cutoff,
     return converage, data, None
 
 
-def construct_compound_paths(ug, u_edge_data):
+def construct_compound_paths(ug, u_edge_data, compat=False):
     """Consistent, complement-closed bubble bundles
     (reference: construct_compound_paths, ovlp_to_graph.py:907-1026)."""
+    branch_nodes = set()
     branch_order = []
     for n in ug.nodes():
         if ug.in_degree(n) > 1 or ug.out_degree(n) > 1:
+            branch_nodes.add(n)
             branch_order.append(n)
+    if compat:
+        branch_order = list(branch_nodes)
 
     compound_paths_0 = []
     for p in branch_order:
@@ -545,29 +652,29 @@ def construct_compound_paths(ug, u_edge_data):
     return compound_paths
 
 
-def construct_c_path_from_utgs(ug, u_edge_data, best_in_of):
+def construct_c_path_from_utgs(ug, u_edge_data, best_in_of, compat=False):
     """Chain unitigs into contig paths, stopping at multi-in nodes unless
     the incoming path is the best-in edge (reference:
     construct_c_path_from_utgs, ovlp_to_graph.py:1246-1356)."""
-    s_nodes = {}
+    s_nodes = PopSet(compat=compat)
     simple_out = set()
     for n in ug.nodes():
         ind = ug.in_degree(n)
         outd = ug.out_degree(n)
         if not (ind == 1 and outd == 1):
             if outd != 0:
-                s_nodes[n] = None
+                s_nodes.add(n)
         if outd == 1:
             simple_out.add(n)
 
     c_path = []
-    free_edges = dict.fromkeys(ug.edges())
+    free_edges = PopSet(ug.edges(), compat=compat)
 
     while free_edges:
         if s_nodes:
-            n, _ = s_nodes.popitem()
+            n = s_nodes.pop()
         else:
-            n = next(iter(free_edges))[0]
+            n = free_edges.peek()[0]
 
         for (s, t, v) in ug.out_edges(n):
             path_start = n
@@ -623,12 +730,13 @@ def construct_c_path_from_utgs(ug, u_edge_data, best_in_of):
             c_path.append((path_start, path_key, path_end,
                            path_length, path_score, path, len(path)))
             for e in path:
-                free_edges.pop(e, None)
+                free_edges.discard(e)
     return c_path
 
 
 def ovlp_to_graph(overlap_file, out_dir=".", min_len=4000, min_idt=96.0,
-                  lfc=False, disable_chimer_bridge_removal=False):
+                  lfc=False, disable_chimer_bridge_removal=False,
+                  set_order_compat=False):
     """Full stage-2 graph construction: preads.ovl -> sg_edges_list,
     chimers_nodes, c_path, utg_data, ctg_paths (reference: ovlp_to_graph,
     ovlp_to_graph.py:1359-1551 + CLI defaults :1554-1576)."""
@@ -669,22 +777,25 @@ def ovlp_to_graph(overlap_file, out_dir=".", min_len=4000, min_idt=96.0,
         assert (reverse_end(w), reverse_end(v)) in edge_data
         sg2.add_edge(v, w)
 
-    simple_paths = identify_simple_paths(sg2, edge_data)
+    simple_paths = identify_simple_paths(sg2, edge_data,
+                                         compat=set_order_compat)
 
     ug = MultiDiGraph()
     u_edge_data = {}
-    circular_path = {}  # ordered set
+    circular_path = PopSet(compat=set_order_compat)
     for (s, v, t), (length, score, path) in simple_paths.items():
         u_edge_data[(s, t, v)] = (length, score, path, "simple")
         if s != t:
             ug.add_edge(s, t, v)
         else:
-            circular_path[(s, t, v)] = None
+            circular_path.add((s, t, v))
 
-    ug2 = identify_spurs(ug, u_edge_data, 50000)
+    ug2 = identify_spurs(ug, u_edge_data, 50000,
+                         compat=set_order_compat)
     ug2 = remove_dup_simple_path(ug2, u_edge_data)
 
-    compound_paths = construct_compound_paths(ug2, u_edge_data)
+    compound_paths = construct_compound_paths(
+        ug2, u_edge_data, compat=set_order_compat)
 
     ug2_edges = set(ug2.edges())
     edges_to_remove = set()
@@ -729,7 +840,8 @@ def ovlp_to_graph(overlap_file, out_dir=".", min_len=4000, min_idt=96.0,
         u_edge_data[(s, t, v)] = (length, score, edges, "repeat_bridge")
 
     ug = ug2
-    ug2 = identify_spurs(ug, u_edge_data, 80000)
+    ug2 = identify_spurs(ug, u_edge_data, 80000,
+                         compat=set_order_compat)
     ug = ug2
 
     with open(opath("utg_data"), "w") as f:
@@ -743,7 +855,8 @@ def ovlp_to_graph(overlap_file, out_dir=".", min_len=4000, min_idt=96.0,
             f.write("%s %s %s %s %s %s %s\n" % (
                 s, v, t, type_, length, score, path_str))
 
-    c_path = construct_c_path_from_utgs(ug, u_edge_data, best_in_of)
+    c_path = construct_c_path_from_utgs(
+        ug, u_edge_data, best_in_of, compat=set_order_compat)
 
     free_edges = set(ug.edges())
     ctg_id = 0

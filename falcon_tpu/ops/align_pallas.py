@@ -1,0 +1,207 @@
+"""Pallas TPU kernel: batched banded alignment extension.
+
+Same results as ops.align_device.extend_batch_device (anti-diagonal banded
+edit distance; best boundary cell under (i+j) - end_bonus*D), restructured
+for the Mosaic compiler's memory rules (no dynamic lane indexing):
+
+  * the scan over anti-diagonals is blocked into SUPER-BLOCKS of 128 steps;
+    the grid is (batch_tiles, super_blocks) and the per-super-block
+    character windows are pre-sliced on device and streamed into VMEM by
+    the pallas pipeline (BlockSpec index maps), so every in-kernel slice
+    offset is a compile-time constant of the unrolled 2-step body
+  * the two wavefront carries (int32, INF-bordered) and the best-cell
+    tracker live in VMEM scratch and persist across the super-block grid
+    dimension (initialized at sb==0)
+  * the window offset o(s) = s//2 - W//2 is left unclamped; lanes with
+    i < 0 are masked, which computes exactly the same cell set as the
+    clamped XLA formulation
+
+Per 2-step pair (s odd then even) the carry shifts are constant
+(delta1, delta2) = (0, 1) then (1, 1), and the q/t character windows
+advance by one lane per pair -- all static slices of the staged windows.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF32 = np.int32(1 << 20)
+NEG_INF32 = np.int32(-(1 << 30))
+SB = 8           # 2-step pairs per super-block (2*SB anti-diagonals)
+WINW = None      # window width = W + 2*SB (set per call)
+
+
+def _kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
+            bi_ref, bj_ref, bd_ref,
+            carry0_ref, carry1_ref, best_ref, W, end_bonus):
+    BT = qlen_ref.shape[0]
+    sb = pl.program_id(1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
+    qlen = qlen_ref[:]          # [BT, 1] int32
+    tlen = tlen_ref[:]
+    b = pl.program_id(0)
+    min_q = minlen_ref[b, 0]    # per-tile min qlen / tlen (scalars)
+    min_t = minlen_ref[b, 1]
+
+    @pl.when(sb == 0)
+    def _init():
+        # s=0 wavefront: D[0,0]=0 at lane (i=0 -> l = -o(0) = W/2)
+        carry0_ref[:] = jnp.full((BT, W + 4), INF32, jnp.int32)
+        carry1_ref[:] = jnp.full((BT, W + 4), INF32, jnp.int32)
+        carry0_ref[:, 2 + W // 2] = jnp.zeros((BT,), jnp.int32)
+        best_ref[:, 0] = jnp.full((BT,), NEG_INF32, jnp.int32)
+        best_ref[:, 1] = jnp.zeros((BT,), jnp.int32)
+        best_ref[:, 2] = jnp.zeros((BT,), jnp.int32)
+        best_ref[:, 3] = jnp.zeros((BT,), jnp.int32)
+
+    o_base = SB * sb - W // 2   # o at the first (odd) step of this block
+
+    def do_step(s_off, o_rel, rel_q, rel_t, d1, prev_ref, prev2cur_ref):
+        """One anti-diagonal.  s = 2*SB*sb + s_off; o = o_base + o_rel.
+        All slice offsets (rel_q, rel_t, d1) are python ints."""
+        o = o_base + o_rel
+        s = 2 * SB * sb + s_off
+        i = o + lanes
+        j = s - i
+
+        up = prev_ref[:, 2 + d1:2 + d1 + W]
+        left = prev_ref[:, 1 + d1:1 + d1 + W]
+        diag = prev2cur_ref[:, 2:2 + W]     # delta2 == 1 -> offset 1+1
+
+        qc = qwin_ref[0, :, rel_q:rel_q + W].astype(jnp.int32)
+        tc = twin_ref[0, :, rel_t:rel_t + W].astype(jnp.int32)
+        # avoid i1 vectors from int8 compares and absi (mosaic gaps):
+        # mismatch cost as min((qc - tc)^2, 1)
+        d = qc - tc
+        sub = jnp.minimum(d * d, jnp.int32(1))
+
+        cand = jnp.minimum(jnp.minimum(up, left) + jnp.int32(1), diag + sub)
+        # DP boundary rows/cols (values clipped into int16 range)
+        bnd_j = jnp.minimum(j, INF32)
+        bnd_i = jnp.minimum(i, INF32)
+        cand = jnp.where(i == 0, bnd_j, cand)
+        cand = jnp.where(j == 0, bnd_i, cand)
+        valid = (i >= 0) & (i <= qlen) & (j >= 0) & (j <= tlen)
+        cur = jnp.where(valid, jnp.minimum(cand, INF32), INF32)
+
+        # boundary cells (i == qlen or j == tlen) can only exist in this
+        # window when the band reaches the shortest pair's ends; skip the
+        # whole tracking block otherwise (scalar-guarded, big step saving)
+        @pl.when((o + W >= min_q) | (s - o >= min_t))
+        def _track():
+            at_end = valid & ((i == qlen) | (j == tlen)) & (cur < INF32)
+            score = jnp.where(at_end,
+                              (i + j) - end_bonus * cur,
+                              NEG_INF32)
+            lane_score = jnp.max(score, axis=1)                 # [BT]
+            # int argmax unsupported in mosaic: first-max via min-reduce
+            is_max = score == lane_score[:, None]
+            arg = jnp.min(jnp.where(is_max, lanes, W), axis=1)
+            improved = lane_score > best_ref[:, 0]
+            sel_i = o + arg
+            sel_j = s - sel_i
+            sel_d = jnp.min(
+                jnp.where(lanes == arg[:, None], cur, INF32), axis=1)
+            best_ref[:, 0] = jnp.where(improved, lane_score,
+                                       best_ref[:, 0])
+            best_ref[:, 1] = jnp.where(improved, sel_i, best_ref[:, 1])
+            best_ref[:, 2] = jnp.where(improved, sel_j, best_ref[:, 2])
+            best_ref[:, 3] = jnp.where(improved, sel_d, best_ref[:, 3])
+
+        prev2cur_ref[:, 2:2 + W] = cur
+
+    for m in range(SB):
+        # odd step s = 2*SB*sb + 2m + 1: o_rel = m; (d1, d2) = (0, 1)
+        do_step(2 * m + 1, m, m, SB - m, 0, carry0_ref, carry1_ref)
+        # even step: o_rel = m + 1; (d1, d2) = (1, 1)
+        do_step(2 * m + 2, m + 1, m + 1, SB - m, 1, carry1_ref, carry0_ref)
+
+    found = best_ref[:, 0] > NEG_INF32
+    bi_ref[:, 0] = jnp.where(found, best_ref[:, 1], 0)
+    bj_ref[:, 0] = jnp.where(found, best_ref[:, 2], 0)
+    bd_ref[:, 0] = jnp.where(found, best_ref[:, 3], 0)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "end_bonus", "block_b"))
+def extend_batch_pallas(q, qlen, t, tlen, W=256, end_bonus=3, block_b=256):
+    """Same contract as align_device.extend_batch_device (int8 inputs).
+
+    q: [B, L] int8 codes (pad 4); t: [B, L] int8 codes (pad 5).
+    B must be a multiple of block_b; L a multiple of 64.
+    """
+    B, L = q.shape
+    assert t.shape == (B, L)
+    assert B % block_b == 0 and L % SB == 0
+    n_sb = (L + SB - 1) // SB
+    winw = W + 2 * SB
+
+    # q_ext[x] = q[x - W/2 - 1]; window sb covers ext indices
+    # [SB*sb, SB*sb + winw)
+    left_q = W // 2 + 1
+    need_q = SB * (n_sb - 1) + winw
+    q_ext = jnp.pad(q.astype(jnp.int8), ((0, 0),
+                    (left_q, max(0, need_q - (L + left_q)))),
+                    constant_values=4)
+    # rt_ext[x] = rt[x - C], rt = reversed t; in-kernel index base
+    # C + L - s + o with C = W/2 + SB + 1; window sb starts at
+    # tbase(sb) = C + L - SB*sb - (SB + 1) - W/2 = L - SB*sb
+    C = W // 2 + SB + 1
+    rt = jnp.flip(t.astype(jnp.int8), axis=1)
+    need_t = L + winw  # max ext index: tbase(0) + winw = L + winw
+    rt_ext = jnp.pad(rt, ((0, 0), (C, max(0, need_t - (L + C)))),
+                     constant_values=5)
+
+    # materialize per-super-block sliding windows with a constant-size
+    # graph (lax.scan of dynamic slices; a python loop of slices made the
+    # XLA graph O(n_sb) and compile time explode)
+    def q_slices(_, start):
+        return 0, jax.lax.dynamic_slice(q_ext, (0, start), (B, winw))
+
+    def t_slices(_, start):
+        return 0, jax.lax.dynamic_slice(rt_ext, (0, start), (B, winw))
+
+    _, qwin = jax.lax.scan(
+        q_slices, 0, SB * jnp.arange(n_sb, dtype=jnp.int32))
+    _, twin = jax.lax.scan(
+        t_slices, 0, L - SB * jnp.arange(n_sb, dtype=jnp.int32))
+
+    qlen2 = qlen.astype(jnp.int32)[:, None]
+    tlen2 = tlen.astype(jnp.int32)[:, None]
+    # per batch-tile [min qlen, min tlen] for the tracking guard; lengths 0
+    # (empty pad rows) would disable the guard, so treat them as L
+    nb_ = B // block_b
+    qv = jnp.where(qlen2[:, 0] > 0, qlen2[:, 0], L).reshape(nb_, block_b)
+    tv = jnp.where(tlen2[:, 0] > 0, tlen2[:, 0], L).reshape(nb_, block_b)
+    minlen = jnp.stack([jnp.min(qv, axis=1), jnp.min(tv, axis=1)],
+                       axis=1).astype(jnp.int32)       # [nb, 2]
+
+    nb = B // block_b
+    kern = functools.partial(_kernel, W=W, end_bonus=end_bonus)
+    out_shape = [jax.ShapeDtypeStruct((B, 1), jnp.int32)] * 3
+    bi, bj, bd = pl.pallas_call(
+        kern,
+        grid=(nb, n_sb),
+        in_specs=[
+            pl.BlockSpec((1, block_b, winw), lambda b, sb: (sb, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b, winw), lambda b, sb: (sb, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1), lambda b, sb: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1), lambda b, sb: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec((block_b, 1), lambda b, sb: (b, 0),
+                                memory_space=pltpu.VMEM)] * 3,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_b, W + 4), jnp.int32),
+            pltpu.VMEM((block_b, W + 4), jnp.int32),
+            pltpu.VMEM((block_b, 4), jnp.int32),
+        ],
+    )(qwin, twin, qlen2, tlen2, minlen)
+    return bi[:, 0], bj[:, 0], bd[:, 0]

@@ -1,0 +1,195 @@
+"""Byte-parity of the stage-2 graph pipeline vs the reference python.
+
+Generates overlap tables from simulated preads with the falcon_tpu overlap
+engine, then runs BOTH the reference ovlp_to_graph/graph_to_contig (loaded
+from /root/reference with nx1 shims, see ref_stage2.py) and
+falcon_tpu.graph on the same preads.ovl, comparing:
+
+  * sg_edges_list: exact bytes (both sides emit in edge-dict insertion
+    order, which is deterministic given the input)
+  * chimers_nodes: content (the reference iterates an address-ordered set)
+  * utg_data / c_path: content as sorted lines (the reference's line order
+    leaks PYTHONHASHSEED via set.pop)
+  * ctg_paths + p_ctg.fa: contig content with ids renumbered away
+"""
+import os
+import types
+
+import numpy as np
+import pytest
+
+from falcon_tpu.graph import to_contig, unitigs
+from falcon_tpu.io import fasta
+from falcon_tpu.overlap import engine, filter as ofilter
+from falcon_tpu.utils import sim
+
+from . import ref_stage2
+
+
+def _have_oracle():
+    try:
+        from . import oracle
+        oracle.get_lib()
+        return True
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(ref_stage2.REF) and _have_oracle()),
+    reason="reference checkout unavailable")
+
+
+def make_reads_plain(G, coverage, err, seed):
+    genome = sim.random_genome(G, seed=seed)
+    return sim.simulate_reads(genome, coverage=coverage, mean_len=8000,
+                              min_len=3000, error=err, seed=seed + 1)
+
+
+def make_reads_hard(G=120000, coverage=14, err=0.004, seed=11):
+    """Adversarial genome: an internal repeat, a divergent (diploid)
+    window producing a bubble, plus chimeric junk reads -- exercises
+    chimer removal, spurs, best-overlap R edges and compound paths."""
+    rng = np.random.RandomState(seed)
+    g = list(sim.random_genome(G, seed=seed))
+    g[60000:68000] = g[10000:18000]           # repeat copy
+    hap1 = "".join(g)
+    hap2 = list(hap1)
+    # divergent window: 2% substitutions over 6kb
+    bases = "ACGT"
+    for p in range(30000, 36000):
+        if rng.rand() < 0.02:
+            hap2[p] = bases[(bases.index(hap2[p]) + 1 + rng.randint(3)) % 4]
+    hap2 = "".join(hap2)
+    reads = []
+    reads += sim.simulate_reads(hap1, coverage=coverage / 2,
+                                mean_len=8000, min_len=3000, error=err,
+                                seed=seed + 1)
+    r2 = sim.simulate_reads(hap2, coverage=coverage / 2, mean_len=8000,
+                            min_len=3000, error=err, seed=seed + 2)
+    reads += [("1%08d" % i, s) for i, (n, s) in enumerate(r2)]
+    # chimeric reads: junctions of two distant loci
+    for i in range(6):
+        a = rng.randint(0, G - 30000)
+        b = rng.randint(0, G - 30000)
+        if abs(a - b) < 30000:
+            b = (b + 50000) % (G - 30000)
+        s = hap1[a:a + 4000] + hap1[b:b + 4000]
+        reads.append(("2%08d" % i, s))
+    return reads
+
+
+def make_preads_ovl(tmp, G=80000, coverage=12, err=0.004, seed=5,
+                    reads=None):
+    if reads is None:
+        reads = make_reads_plain(G, coverage, err, seed)
+    rs_store = __import__("falcon_tpu.io.readstore",
+                          fromlist=["ReadStore"]).ReadStore
+    store = rs_store.from_seqs([s for _, s in reads],
+                               [n for n, _ in reads])
+    rids = np.arange(len(store))
+    ovls = engine.overlap_blocks(
+        store, rids, rids,
+        engine.OverlapParams(k=14, min_hits=4, min_overlap=500))
+    recs = engine.emit_symmetric(ovls)
+    lines = [r.to_line() for r in recs]
+    ovl_fn = os.path.join(tmp, "preads.ovl")
+    with open(ovl_fn, "w") as f:
+        ofilter.run_ovlp_filter(f, [lambda L=lines: L], max_diff=60,
+                                max_cov=60, min_cov=1, min_len=2500,
+                                bestn=10)
+    # the engine emits store-row ids; name the fasta accordingly (the
+    # pipeline driver does the same renumbering, DB2Falcon-style)
+    fasta.write_fasta(os.path.join(tmp, "preads4falcon.fasta"),
+                      [("%09d" % i, s) for i, (n, s) in enumerate(reads)])
+    return ovl_fn
+
+
+def run_reference(tmp, ovl_fn):
+    mod = ref_stage2.load_ref_ovlp_to_graph()
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        args = types.SimpleNamespace(
+            overlap_file=ovl_fn, min_len=4000, min_idt=96.0, lfc=False,
+            disable_chimer_bridge_removal=False)
+        mod.ovlp_to_graph(args)
+        g2c = ref_stage2.load_ref_graph_to_contig()
+        g2c.run(improper_p_ctg=False, proper_a_ctg=False)
+    finally:
+        os.chdir(cwd)
+
+
+def run_mine(tmp, ovl_fn):
+    unitigs.ovlp_to_graph(ovl_fn, tmp, min_len=4000, min_idt=96.0,
+                          set_order_compat=True)
+    to_contig.run(tmp)
+
+
+def read(path):
+    with open(path) as f:
+        return f.read()
+
+
+def contig_multiset(pa_ctg_fa):
+    seqs = sorted(r.sequence for r in fasta.read_fasta(pa_ctg_fa))
+    return seqs
+
+
+def ctg_paths_content(path):
+    rows = []
+    for line in open(path):
+        f = line.split()
+        rows.append(tuple(f[1:]))  # drop the id column
+    return sorted(rows)
+
+
+def _compare_all(tmp_ref, tmp_my, expect_chimers=False):
+    # sg_edges_list: exact
+    assert read(os.path.join(tmp_my, "sg_edges_list")) == \
+        read(os.path.join(tmp_ref, "sg_edges_list"))
+
+    # chimers_nodes: content
+    ref_chim = sorted(read(os.path.join(tmp_ref, "chimers_nodes")).split())
+    assert sorted(read(os.path.join(tmp_my, "chimers_nodes")).split()) == \
+        ref_chim
+    if expect_chimers:
+        assert ref_chim, "dataset did not exercise chimer removal"
+
+    # utg_data / c_path / ctg_paths: exact bytes (set-order compat mode
+    # pops the same CPython sets as the reference in this interpreter)
+    for fn in ("utg_data", "c_path", "ctg_paths"):
+        assert read(os.path.join(tmp_my, fn)) == \
+            read(os.path.join(tmp_ref, fn)), "%s differs" % fn
+
+    # contig fasta + tiling paths: exact bytes
+    for fn in ("p_ctg.fa", "a_ctg_all.fa", "a_ctg_base.fa",
+               "p_ctg_tiling_path", "a_ctg_tiling_path",
+               "a_ctg_base_tiling_path"):
+        assert read(os.path.join(tmp_my, fn)) == \
+            read(os.path.join(tmp_ref, fn)), "%s differs" % fn
+
+
+def _run_case(tmp_path, reads=None, expect_chimers=False):
+    import shutil
+    tmp_ref = str(tmp_path / "ref")
+    tmp_my = str(tmp_path / "mine")
+    os.makedirs(tmp_ref)
+    os.makedirs(tmp_my)
+    make_preads_ovl(tmp_ref, reads=reads)
+    shutil.copy(os.path.join(tmp_ref, "preads.ovl"),
+                os.path.join(tmp_my, "preads.ovl"))
+    shutil.copy(os.path.join(tmp_ref, "preads4falcon.fasta"),
+                os.path.join(tmp_my, "preads4falcon.fasta"))
+    run_reference(tmp_ref, os.path.join(tmp_ref, "preads.ovl"))
+    run_mine(tmp_my, os.path.join(tmp_my, "preads.ovl"))
+    _compare_all(tmp_ref, tmp_my, expect_chimers=expect_chimers)
+
+
+def test_stage2_byte_parity(tmp_path):
+    _run_case(tmp_path)
+
+
+@pytest.mark.slow
+def test_stage2_byte_parity_hard(tmp_path):
+    _run_case(tmp_path, reads=make_reads_hard())
