@@ -216,9 +216,14 @@ class Pipeline:
         store.split_blocks(int(p.pr_block_mb * 1e6))
         LOG.info("phase1: %d preads, %d bases", len(store),
                  store.total_bases)
-        # renumber preads: DB2Falcon gives dense %09d ids
+        # renumber preads: DB2Falcon gives dense %09d ids; keep the
+        # original (prolog/<seed>) names as the id-dump for read tracking
+        orig_names = list(store.names)
         names = ["%09d" % i for i in range(len(store))]
         store.names = names
+        with open(os.path.join(self.dir1, "pread_ids"), "w") as f:
+            for pid, name in zip(names, orig_names):
+                f.write("%s %s\n" % (pid, name))
         fasta.write_fasta(p4f, ((names[i], store.get_seq(i))
                                 for i in range(len(store))))
 

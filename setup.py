@@ -11,6 +11,23 @@ setup(
     entry_points={
         "console_scripts": [
             "ftpu-run = falcon_tpu.pipeline.driver:main",
+            "fc_run = falcon_tpu.pipeline.driver:main",
+            "fc_consensus = falcon_tpu.mains.consensus:main",
+            "fc_ovlp_filter = falcon_tpu.mains.ovlp_filter:main",
+            "fc_ovlp_stats = falcon_tpu.mains.ovlp_stats:main",
+            "fc_ovlp_to_graph = falcon_tpu.mains.ovlp_to_graph:main",
+            "fc_graph_to_contig = falcon_tpu.mains.graph_to_contig:main",
+            "fc_graph_to_utgs = falcon_tpu.mains.graph_to_utgs:main",
+            "fc_dedup_a_tigs = falcon_tpu.mains.dedup_a_tigs:main",
+            "fc_calc_cutoff = falcon_tpu.mains.calc_cutoff:main",
+            "fc_gen_gfa_v1 = falcon_tpu.mains.gen_gfa_v1:main",
+            "fc_gen_gfa_v2 = falcon_tpu.mains.gen_gfa_v2:main",
+            "fc_collect_pread_gfa = "
+            "falcon_tpu.mains.collect_pread_gfa:main",
+            "fc_collect_contig_gfa = "
+            "falcon_tpu.mains.collect_contig_gfa:main",
+            "fc_track_reads = falcon_tpu.mains.track_reads:main",
+            "fc_fetch_reads = falcon_tpu.mains.fetch_reads:main",
         ],
     },
 )
