@@ -146,9 +146,18 @@ class DeviceExtender:
 
     def _extend(self, q, qlen, t, tlen):
         import jax.numpy as jnp
+        import jax
         if self.use_pallas is None:
-            import jax
             self.use_pallas = any(d.platform != "cpu" for d in jax.devices())
+        if len(jax.devices()) > 1:
+            # data-parallel over the device mesh (multi-chip path)
+            from ..parallel.mesh import ShardedExtender
+            if not hasattr(self, "_sharded"):
+                self._sharded = ShardedExtender(
+                    W=self.W, end_bonus=self.end_bonus,
+                    use_pallas=self.use_pallas)
+            return self._sharded.extend(np.asarray(q), np.asarray(qlen),
+                                        np.asarray(t), np.asarray(tlen))
         if self.use_pallas:
             try:
                 from .align_pallas import extend_batch_pallas

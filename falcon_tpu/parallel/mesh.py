@@ -1,0 +1,108 @@
+"""Multi-chip parallelism: device mesh plumbing for the overlap engine.
+
+The reference scales by scattering block-pair daligner jobs over a cluster
+scheduler with a shared filesystem (reference: falcon_kit/run_support.py:
+200-226 job types, mains/dazzler.py block-pair plans).  Here the unit of
+scale-out is the alignment-pair batch: extension tasks shard over a
+1-D "pair" mesh axis with jax.shard_map -- each device runs the banded
+extension kernel on its shard, and the host gathers the (i, j, d) results.
+On a pod slice the same code runs multi-host under
+jax.distributed.initialize (each host feeds its own block pairs; the
+k-mer index masks ride an all-reduce over the same mesh, see
+__graft_entry__.dryrun_multichip).
+"""
+import functools
+
+import numpy as np
+
+
+def make_mesh(n_devices=None):
+    """1-D mesh over the available devices ('pair' axis)."""
+    import jax
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), ("pair",))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_fn(mesh_id, W, end_bonus, use_pallas):
+    import jax
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    mesh = _MESHES[mesh_id]
+
+    if use_pallas:
+        from ..ops.align_pallas import extend_batch_pallas
+
+        def local(q, qlen, t, tlen):
+            return extend_batch_pallas(q, qlen, t, tlen, W=W,
+                                       end_bonus=end_bonus,
+                                       block_b=min(256, q.shape[0]))
+    else:
+        from ..ops.align_device import extend_batch_device
+
+        def local(q, qlen, t, tlen):
+            return extend_batch_device(q, qlen, t, tlen, W=W,
+                                       end_bonus=end_bonus)
+
+    spec2 = P("pair", None)
+    spec1 = P("pair")
+    try:
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(spec2, spec1, spec2, spec1),
+                       out_specs=(spec1, spec1, spec1),
+                       check_vma=False)
+    except TypeError:  # older jax: check_rep
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(spec2, spec1, spec2, spec1),
+                       out_specs=(spec1, spec1, spec1),
+                       check_rep=False)
+    return jax.jit(fn)
+
+
+_MESHES = {}
+
+
+class ShardedExtender:
+    """Data-parallel front-end over extend_batch_*: pads the batch to a
+    multiple of (n_devices * tile) and runs one sharded kernel call."""
+
+    def __init__(self, mesh=None, W=512, end_bonus=3, use_pallas=None):
+        import jax
+        self.mesh = mesh or make_mesh()
+        self.W = W
+        self.end_bonus = end_bonus
+        if use_pallas is None:
+            use_pallas = any(d.platform not in ("cpu",)
+                             for d in self.mesh.devices.flat)
+        self.use_pallas = use_pallas
+        self.n_dev = int(np.prod(self.mesh.devices.shape))
+        _MESHES[id(self.mesh)] = self.mesh
+
+    def extend(self, q, qlen, t, tlen):
+        """q/t: [B, L] int; returns np arrays (i, j, d) of length B."""
+        import jax.numpy as jnp
+        B = q.shape[0]
+        # per-device batch must divide the pallas block size (256) or be
+        # a small multiple of 8
+        tile = (256 if B >= 256 * self.n_dev else 8) * self.n_dev
+        Bp = ((B + tile - 1) // tile) * tile
+        if Bp != B:
+            pad = Bp - B
+            q = np.pad(q, ((0, pad), (0, 0)), constant_values=4)
+            t = np.pad(t, ((0, pad), (0, 0)), constant_values=5)
+            qlen = np.pad(qlen, (0, pad))
+            tlen = np.pad(tlen, (0, pad))
+        dt = np.int8 if self.use_pallas else np.int32
+        fn = _sharded_fn(id(self.mesh), self.W, self.end_bonus,
+                         self.use_pallas)
+        with self.mesh:
+            r = fn(jnp.asarray(q.astype(dt)), jnp.asarray(qlen),
+                   jnp.asarray(t.astype(dt)), jnp.asarray(tlen))
+        bi, bj, bd = [np.asarray(x)[:B] for x in r]
+        return bi, bj, bd

@@ -22,12 +22,50 @@ def stats_from_lengths(lengths):
                 esize=round(esize, 3))
 
 
+def fragmentation_truncation(raw_store, preads_fn):
+    """Mean preads-per-seed (fragmentation) and mean seed bases lost to
+    correction (truncation), from the --output-multi pread naming
+    "prolog/<seed><i>/<b>_<e>" (reference: stats_preassembly.py
+    metric_fragmentation/metric_truncation:137-156 +
+    functional.calc_metric_fragmentation/truncation:364-379)."""
+    per_seed_count = {}
+    per_seed_bases = {}
+    for rec in fasta.read_fasta(preads_fn):
+        name = rec.name
+        if not name.startswith("prolog/"):
+            continue
+        core, region = name.split("/")[1], name.split("/")[2]
+        seed = core[:-1]
+        b, e = region.split("_")
+        per_seed_count[seed] = per_seed_count.get(seed, 0) + 1
+        per_seed_bases[seed] = per_seed_bases.get(seed, 0) + \
+            (int(e) - int(b))
+    if not per_seed_count:
+        return -1.0, -1.0
+    frag = sum(per_seed_count.values()) / len(per_seed_count)
+    name_to_rid = {n: i for i, n in enumerate(raw_store.names)}
+    diffs = []
+    for seed, bases in per_seed_bases.items():
+        rid = name_to_rid.get(seed)
+        if rid is None:
+            try:
+                rid = int(seed)
+            except ValueError:
+                continue
+        if rid >= len(raw_store):
+            continue
+        diffs.append(int(raw_store.lengths[rid]) - bases)
+    trunc = (sum(diffs) / len(diffs)) if diffs else -1.0
+    return round(frag, 3), round(trunc, 3)
+
+
 def preassembly_report(raw_store, preads_fn, length_cutoff, genome_size):
     raw = stats_from_lengths(raw_store.lengths)
     seed_lens = raw_store.lengths[raw_store.lengths >= length_cutoff]
     seeds = stats_from_lengths(seed_lens)
     pread_lens = [len(r.sequence) for r in fasta.read_fasta(preads_fn)]
     preads = stats_from_lengths(pread_lens)
+    frag, trunc = fragmentation_truncation(raw_store, preads_fn)
 
     report = {
         "genome_length": int(genome_size),
@@ -51,7 +89,7 @@ def preassembly_report(raw_store, preads_fn, length_cutoff, genome_size):
         if genome_size else 0,
         "preassembled_yield": round(preads["total"] / seeds["total"], 3)
         if seeds["total"] else 0,
-        "preassembled_seed_fragmentation": -1.0,  # needs per-seed tracking
-        "preassembled_seed_truncation": -1.0,
+        "preassembled_seed_fragmentation": frag,
+        "preassembled_seed_truncation": trunc,
     }
     return report

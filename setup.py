@@ -28,6 +28,12 @@ setup(
             "falcon_tpu.mains.collect_contig_gfa:main",
             "fc_track_reads = falcon_tpu.mains.track_reads:main",
             "fc_fetch_reads = falcon_tpu.mains.fetch_reads:main",
+            "fc_actg_coordinate = falcon_tpu.mains.actg_coordinate:main",
+            "fc_contig_annotate = falcon_tpu.mains.contig_annotate:main",
+            "fc_ctg_link_analysis = "
+            "falcon_tpu.mains.ctg_link_analysis:main",
+            "fc_report_pre_assembly = "
+            "falcon_tpu.mains.report_pre_assembly:main",
         ],
     },
 )
