@@ -1,0 +1,103 @@
+"""End-to-end wall-clock benchmark: simulated genome -> p_ctg.
+
+Runs the full pipeline (overlap -> consensus -> pread overlap -> graph ->
+contigs) on a freshly simulated dataset and reports wall-clock plus
+assembly quality vs the known truth.  This is the "beat the multicore
+reference pipeline" scenario from BASELINE.md; scale via --genome-size
+(E. coli scale = 4600000).
+
+Usage: python bench_e2e.py [--genome-size N] [--coverage C] [--out DIR]
+"""
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--genome-size", type=int, default=1_000_000)
+    p.add_argument("--coverage", type=float, default=24)
+    p.add_argument("--error", type=float, default=0.08)
+    p.add_argument("--mean-len", type=int, default=9000)
+    p.add_argument("--out", default="/tmp/ftpu_bench_e2e")
+    p.add_argument("--keep", action="store_true")
+    p.add_argument("--no-device", action="store_true")
+    args = p.parse_args()
+
+    import logging
+    logging.basicConfig(
+        level=logging.INFO, stream=sys.stderr,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+
+    from falcon_tpu.io import fasta
+    from falcon_tpu.pipeline.driver import Pipeline
+    from falcon_tpu.utils import sim
+
+    out = args.out
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    os.chdir(out)
+
+    t0 = time.time()
+    genome = sim.random_genome(args.genome_size, seed=101)
+    reads = sim.simulate_reads(genome, coverage=args.coverage,
+                               mean_len=args.mean_len, min_len=2000,
+                               error=args.error, seed=102)
+    fasta.write_fasta("raw_reads.fa", reads, width=0)
+    n_bases = sum(len(s) for _, s in reads)
+    t_sim = time.time() - t0
+    print("simulated %d reads, %.1f Mbases in %.0fs" %
+          (len(reads), n_bases / 1e6, t_sim), file=sys.stderr)
+
+    with open("input.fofn", "w") as f:
+        f.write("raw_reads.fa\n")
+    with open("fc_run.cfg", "w") as f:
+        f.write("""[General]
+input_fofn = input.fofn
+input_type = raw
+genome_size = %d
+seed_coverage = 20
+length_cutoff = -1
+length_cutoff_pr = 2000
+pa_DBsplit_option = -x500 -s200
+ovlp_DBsplit_option = -x500 -s200
+pa_HPCdaligner_option = -v -e.70 -l1000
+ovlp_HPCdaligner_option = -v -e.96 -l500
+falcon_sense_option = --output-multi --min-idt 0.70 --min-cov 2 --max-n-read 400
+overlap_filtering_setting = --max-diff 120 --max-cov 120 --min-cov 2
+""" % args.genome_size)
+
+    t1 = time.time()
+    pipe = Pipeline("fc_run.cfg", out,
+                    use_device=(not args.no_device))
+    p_ctg = pipe.run()
+    wall = time.time() - t1
+
+    ctgs = sorted((len(r.sequence) for r in fasta.read_fasta(p_ctg)),
+                  reverse=True)
+    covered = sum(ctgs)
+    result = {
+        "metric": "e2e_raw_to_p_ctg_wall_s",
+        "value": round(wall, 1),
+        "unit": "s",
+        "genome_size": args.genome_size,
+        "raw_bases": n_bases,
+        "n_contigs": len(ctgs),
+        "largest_contig": ctgs[0] if ctgs else 0,
+        "contig_bases": covered,
+        "timings": {k: round(v, 1) for k, v in pipe.timings.items()},
+    }
+    print(json.dumps(result))
+    if not args.keep:
+        pass  # leave artifacts for inspection; dir is in /tmp
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

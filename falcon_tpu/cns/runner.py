@@ -28,7 +28,8 @@ class ConsensusConfig:
     def __init__(self, min_cov=6, K=8, max_n_read=500, min_idt=0.70,
                  edge_tolerance=1000, trim_size=50, min_cov_aln=10,
                  max_cov_aln=0, min_n_read=10, min_len_aln=0,
-                 output_full=False, output_multi=False, trim=False):
+                 output_full=False, output_multi=False, trim=False,
+                 n_core=0):
         self.min_cov = min_cov
         self.K = K
         self.max_n_read = max_n_read
@@ -42,6 +43,7 @@ class ConsensusConfig:
         self.output_full = output_full
         self.output_multi = output_multi
         self.trim = trim
+        self.n_core = n_core
 
     @classmethod
     def from_option_string(cls, opts):
@@ -87,6 +89,7 @@ class ConsensusConfig:
                 cfg.trim_size = int(toks[i])
             elif t == "--n-core":
                 i += 1
+                cfg.n_core = int(toks[i])
             i += 1
         return cfg
 
@@ -190,14 +193,34 @@ def format_output(cns, seed_id, cfg, out):
     return n
 
 
-def run_consensus(groups, cfg, out):
+def _pool_worker(task):
+    seed_id, seqs, cfg = task
+    return consensus_for_group(seed_id, seqs, cfg)
+
+
+def run_consensus(groups, cfg, out, n_core=None):
     """groups: iterable of (seed_id, [(read_id, seq), ...]).  Writes pread
-    FASTA to `out`; returns number of sequences emitted."""
+    FASTA to `out`; returns number of sequences emitted.  n_core > 0 fans
+    the per-group kernel out over a process pool (reference:
+    consensus.py:264-274 Pool.imap; FakePool determinism mode at 0)."""
+    import multiprocessing
+    from ..utils.pool import Pool
+    if n_core is None:
+        n_core = cfg.n_core
+    n_core = min(n_core, multiprocessing.cpu_count())
+
+    def gated_tasks():
+        for seed_id, seqs_with_ids in groups:
+            gated = gate_group(seed_id, seqs_with_ids, cfg)
+            if gated is None:
+                continue
+            yield seed_id, gated, cfg
+
     emitted = 0
-    for seed_id, seqs_with_ids in groups:
-        gated = gate_group(seed_id, seqs_with_ids, cfg)
-        if gated is None:
-            continue
-        cns, sid = consensus_for_group(seed_id, gated, cfg)
-        emitted += format_output(cns, sid, cfg, out)
+    pool = Pool(n_core)
+    try:
+        for cns, sid in pool.imap(_pool_worker, gated_tasks()):
+            emitted += format_output(cns, sid, cfg, out)
+    finally:
+        pool.terminate()
     return emitted

@@ -562,3 +562,100 @@ int ftpu_align(const char* q, int q_len, const char* t, int t_len,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------- block seed matching
+//
+// The overlap engine's seed join (the daligner-equivalent inner loop of
+// block x block comparison): build a sorted k-mer table over the target
+// block, then stream the query block's k-mers (at `stride`) against it.
+// Positions are in flat block coordinates; k-mers crossing read
+// boundaries or containing non-ACGT codes are skipped; over-represented
+// target k-mers (count > max_freq) are masked (the daligner -t analog).
+
+long ftpu_seed_hits_impl(const uint8_t* q_codes, const int64_t* q_offsets,
+                         long n_q, const uint8_t* t_codes,
+                         const int64_t* t_offsets, long n_t, int K,
+                         int stride, int max_freq, int64_t** q_pos_out,
+                         int64_t** t_pos_out) {
+  const int SHIFT = 34;  // packed = key << SHIFT | pos
+  const uint64_t POS_MASK = (1ULL << SHIFT) - 1;
+  const uint32_t kmask = (uint32_t)((1ULL << (2 * K)) - 1);
+
+  // target table: packed (key, pos), sorted
+  vector<uint64_t> table;
+  table.reserve((size_t)t_offsets[n_t]);
+  for (long r = 0; r < n_t; ++r) {
+    const int64_t beg = t_offsets[r], end = t_offsets[r + 1];
+    uint32_t key = 0;
+    int valid = 0;
+    for (int64_t i = beg; i < end; ++i) {
+      const uint8_t c = t_codes[i];
+      if (c > 3) {
+        valid = 0;
+        key = 0;
+        continue;
+      }
+      key = ((key << 2) | c) & kmask;
+      ++valid;
+      if (valid >= K) {
+        const int64_t pos = i - K + 1;
+        table.push_back(((uint64_t)key << SHIFT) | (uint64_t)pos);
+      }
+    }
+  }
+  std::sort(table.begin(), table.end());
+
+  vector<int64_t> qhits, thits;
+  qhits.reserve(1 << 20);
+  thits.reserve(1 << 20);
+  for (long r = 0; r < n_q; ++r) {
+    const int64_t beg = q_offsets[r], end = q_offsets[r + 1];
+    uint32_t key = 0;
+    int valid = 0;
+    for (int64_t i = beg; i < end; ++i) {
+      const uint8_t c = q_codes[i];
+      if (c > 3) {
+        valid = 0;
+        key = 0;
+        continue;
+      }
+      key = ((key << 2) | c) & kmask;
+      if (++valid < K) continue;
+      const int64_t pos = i - K + 1;
+      if (stride > 1 && ((pos - beg) % stride) != 0) continue;
+      const uint64_t lo = (uint64_t)key << SHIFT;
+      auto it = std::lower_bound(table.begin(), table.end(), lo);
+      auto it_end = std::upper_bound(it, table.end(), lo | POS_MASK);
+      const long cnt = (long)(it_end - it);
+      if (cnt == 0 || cnt > max_freq) continue;
+      for (; it != it_end; ++it) {
+        qhits.push_back(pos);
+        thits.push_back((int64_t)(*it & POS_MASK));
+      }
+    }
+  }
+  const long n = (long)qhits.size();
+  int64_t* qp = (int64_t*)malloc(sizeof(int64_t) * (n ? n : 1));
+  int64_t* tp = (int64_t*)malloc(sizeof(int64_t) * (n ? n : 1));
+  memcpy(qp, qhits.data(), sizeof(int64_t) * n);
+  memcpy(tp, thits.data(), sizeof(int64_t) * n);
+  *q_pos_out = qp;
+  *t_pos_out = tp;
+  return n;
+}
+
+extern "C" {
+
+long ftpu_seed_hits(const uint8_t* q_codes, const int64_t* q_offsets,
+                    long n_q, const uint8_t* t_codes,
+                    const int64_t* t_offsets, long n_t, int K, int stride,
+                    int max_freq, int64_t** q_pos_out,
+                    int64_t** t_pos_out) {
+  return ftpu_seed_hits_impl(q_codes, q_offsets, n_q, t_codes, t_offsets,
+                             n_t, K, stride, max_freq, q_pos_out,
+                             t_pos_out);
+}
+
+void ftpu_free_i64(int64_t* p) { free(p); }
+
+}  // extern "C"

@@ -193,8 +193,11 @@ class DeviceExtender:
         for L, idxs in buckets.items():
             for ofs in range(0, len(idxs), self.max_batch):
                 chunk = idxs[ofs:ofs + self.max_batch]
-                # pad the batch dim to a power of two so jit shapes recur
+                # pad the batch dim so jit/pallas shapes recur: at least
+                # the pallas block size (256) to keep one kernel shape
                 B = 1 << int(np.ceil(np.log2(max(len(chunk), 8))))
+                if self.use_pallas is not False:
+                    B = max(B, 256)
                 q = np.full((B, L), 4, dtype=np.int32)
                 t = np.full((B, L), 5, dtype=np.int32)
                 qlen = np.zeros(B, dtype=np.int32)

@@ -49,6 +49,13 @@ def _build_and_load():
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p)]
     lib.ftpu_align.restype = ctypes.c_int
+    lib.ftpu_seed_hits.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p)]
+    lib.ftpu_seed_hits.restype = ctypes.c_long
+    lib.ftpu_free_i64.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -100,6 +107,36 @@ def align(query, target, band_tolerance, get_aln_str=True):
             rtn.t_aln_str = ctypes.string_at(ta.value) if ok else b""
             lib.ftpu_free(ta)
     return rtn
+
+
+def seed_hits(q_codes, q_offsets, t_codes, t_offsets, K, stride, max_freq):
+    """Block seed join: (q_flat_pos, t_flat_pos) int64 hit arrays.
+
+    q_codes/t_codes: flat uint8 code arrays; *_offsets: int64 read offset
+    arrays (len n_reads+1)."""
+    import numpy as np
+    lib = get_lib()
+    q_codes = np.ascontiguousarray(q_codes, dtype=np.uint8)
+    t_codes = np.ascontiguousarray(t_codes, dtype=np.uint8)
+    q_offsets = np.ascontiguousarray(q_offsets, dtype=np.int64)
+    t_offsets = np.ascontiguousarray(t_offsets, dtype=np.int64)
+    qp = ctypes.c_void_p()
+    tp = ctypes.c_void_p()
+    n = lib.ftpu_seed_hits(
+        q_codes.ctypes.data, q_offsets.ctypes.data, len(q_offsets) - 1,
+        t_codes.ctypes.data, t_offsets.ctypes.data, len(t_offsets) - 1,
+        K, stride, max_freq, ctypes.byref(qp), ctypes.byref(tp))
+    try:
+        qhits = np.ctypeslib.as_array(
+            ctypes.cast(qp, ctypes.POINTER(ctypes.c_int64)),
+            shape=(max(n, 1),))[:n].copy()
+        thits = np.ctypeslib.as_array(
+            ctypes.cast(tp, ctypes.POINTER(ctypes.c_int64)),
+            shape=(max(n, 1),))[:n].copy()
+    finally:
+        lib.ftpu_free_i64(qp)
+        lib.ftpu_free_i64(tp)
+    return qhits, thits
 
 
 def generate_consensus(seqs, min_cov, K, min_idt):

@@ -36,9 +36,9 @@ _A = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
 class OverlapParams:
-    def __init__(self, k=14, max_kmer_freq=64, min_hits=4, bin_size=256,
+    def __init__(self, k=14, max_kmer_freq=32, min_hits=4, bin_size=256,
                  band_tolerance=250, min_overlap=1000, min_idt=0.0,
-                 stride=1):
+                 stride=4):
         self.k = k
         self.max_kmer_freq = max_kmer_freq   # daligner -t analog
         self.min_hits = min_hits             # seeds needed per candidate
@@ -80,7 +80,7 @@ class BlockIndex:
     reads are laid out in a parallel flat array with the same offsets.
     """
 
-    def __init__(self, store, rids, params):
+    def __init__(self, store, rids, params, build_tables=True):
         self.store = store
         self.rids = np.asarray(rids, dtype=np.int64)
         self.params = params
@@ -96,6 +96,8 @@ class BlockIndex:
             o = self.offsets[i]
             self.fwd[o:o + len(c)] = c
             self.rev[o:o + len(c)] = revcomp_codes(c)
+        if not build_tables:
+            return
 
         K = params.k
         keys_f, ok_f = _kmer_keys_flat(self.fwd, K)
@@ -186,37 +188,49 @@ def _chain_candidates(qpos, tpos, a_read, b_read, strand, params):
     qp = qpos[order]
     tp = tpos[order]
 
-    # pair group boundaries
-    pair_change = np.ones(len(a), dtype=bool)
-    pair_change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (s[1:] != s[:-1])
-    pair_starts = np.nonzero(pair_change)[0]
-    pair_ends = np.append(pair_starts[1:], len(a))
+    # fully vectorized per-pair densest-diagonal-window selection:
+    # (pair, bin) runs -> counts; combine adjacent bins; best run per pair
+    n = len(a)
+    pair_change = np.ones(n, dtype=bool)
+    pair_change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | \
+        (s[1:] != s[:-1])
+    run_change = pair_change.copy()
+    run_change[1:] |= bn[1:] != bn[:-1]
+    run_starts = np.nonzero(run_change)[0]           # per (pair, bin) run
+    run_counts = np.diff(np.append(run_starts, n))
+    run_pair = np.cumsum(pair_change)[run_starts] - 1  # pair index per run
+    run_bin = bn[run_starts]
 
-    # within pair, count per (bin) and adjacent bin to tolerate drift
+    # combine each run with its next run when it is the adjacent bin of
+    # the same pair (drift tolerance across the bin boundary)
+    nr = len(run_starts)
+    comb = run_counts.copy()
+    has_next = np.zeros(nr, dtype=bool)
+    if nr > 1:
+        adj = (run_pair[1:] == run_pair[:-1]) & \
+            (run_bin[1:] == run_bin[:-1] + 1)
+        comb[:-1] += np.where(adj, run_counts[1:], 0)
+        has_next[:-1] = adj
+
+    # best run per pair: order by (pair, -comb, run index); first wins
+    order = np.lexsort((np.arange(nr), -comb, run_pair))
+    first_of_pair = np.ones(len(order), dtype=bool)
+    rp_sorted = run_pair[order]
+    first_of_pair[1:] = rp_sorted[1:] != rp_sorted[:-1]
+    best_runs = order[first_of_pair]
+    best_runs = best_runs[comb[best_runs] >= params.min_hits]
+
+    # anchor: hits within a run are qpos-sorted, so the run's first hit is
+    # its min-qpos hit; with an adjacent run, take the smaller of the two
     out = []
-    for ps, pe in zip(pair_starts, pair_ends):
-        bins = bn[ps:pe]
-        # densest window of two adjacent bins
-        ub, inv, cnts = np.unique(bins, return_inverse=True,
-                                  return_counts=True)
-        # combine adjacent bins
-        comb = cnts.copy()
-        if len(ub) > 1:
-            adj = np.zeros_like(cnts)
-            adj[:-1] += np.where(ub[1:] == ub[:-1] + 1, cnts[1:], 0)
-            comb = cnts + adj
-        bi = int(np.argmax(comb))
-        n_in = int(comb[bi])
-        if n_in < params.min_hits:
-            continue
-        sel = (inv == bi)
-        if bi + 1 < len(ub) and ub[bi + 1] == ub[bi] + 1:
-            sel |= (inv == bi + 1)
-        qs = qp[ps:pe][sel]
-        ts = tp[ps:pe][sel]
-        k = int(np.argmin(qs))
-        out.append((int(a[ps]), int(b[ps]), int(s[ps]),
-                    int(qs[k]), int(ts[k]), n_in))
+    for r in best_runs:
+        k = run_starts[r]
+        if has_next[r]:
+            k2 = run_starts[r + 1]
+            if qp[k2] < qp[k]:
+                k = k2
+        out.append((int(a[k]), int(b[k]), int(s[k]),
+                    int(qp[k]), int(tp[k]), int(comb[r])))
     return out
 
 
@@ -234,34 +248,45 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
             len(rids_a) == len(rids_b) and
             np.array_equal(np.asarray(rids_a), np.asarray(rids_b)))
 
-    index = BlockIndex(store, rids_b, params)
+    from ..ops import native
+    use_native = native.available()
+    index = BlockIndex(store, rids_b, params, build_tables=not use_native)
     K = params.k
 
-    # gather all A hits
-    all_q, all_t, all_s, all_ar = [], [], [], []
+    # all A reads flattened and matched in one sorted join
     rids_a = np.asarray(rids_a, dtype=np.int64)
-    for ai, rid in enumerate(rids_a):
-        codes = store.get_codes(rid)
-        keys, ok = _kmer_keys_flat(codes, K)
-        if params.stride > 1:
-            ok = ok.copy()
-            m = np.zeros(len(ok), dtype=bool)
-            m[::params.stride] = True
-            ok &= m
-        qpos, tflat, strand = index.match(keys, ok)
-        if len(qpos) == 0:
-            continue
-        all_q.append(qpos)
-        all_t.append(tflat)
-        all_s.append(strand)
-        all_ar.append(np.full(len(qpos), ai, dtype=np.int64))
+    a_lens = store.lengths[rids_a].astype(np.int64)
+    a_offsets = np.zeros(len(rids_a) + 1, dtype=np.int64)
+    np.cumsum(a_lens, out=a_offsets[1:])
+    a_flat = np.empty(int(a_offsets[-1]), dtype=np.uint8)
+    for i, rid in enumerate(rids_a):
+        c = store.get_codes(rid)
+        a_flat[a_offsets[i]:a_offsets[i] + len(c)] = c
 
-    if not all_q:
+    if use_native:
+        qf0, tf0 = native.seed_hits(a_flat, a_offsets, index.fwd,
+                                    index.offsets, K, params.stride,
+                                    params.max_kmer_freq)
+        qf1, tf1 = native.seed_hits(a_flat, a_offsets, index.rev,
+                                    index.offsets, K, params.stride,
+                                    params.max_kmer_freq)
+        qflat = np.concatenate([qf0, qf1])
+        tflat = np.concatenate([tf0, tf1])
+        strand = np.concatenate([np.zeros(len(qf0), np.int64),
+                                 np.ones(len(qf1), np.int64)])
+    else:
+        keys, ok = _kmer_keys_flat(a_flat, K)
+        pos = np.arange(len(keys), dtype=np.int64)
+        read_of = np.searchsorted(a_offsets, pos, side="right") - 1
+        ok = ok & (pos + K <= a_offsets[read_of + 1])
+        if params.stride > 1:
+            ok &= ((pos - a_offsets[read_of]) % params.stride) == 0
+        qflat, tflat, strand = index.match(keys, ok)
+        strand = strand.astype(np.int64)
+    if len(qflat) == 0:
         return []
-    qpos = np.concatenate(all_q)
-    tflat = np.concatenate(all_t)
-    strand = np.concatenate(all_s).astype(np.int64)
-    a_idx = np.concatenate(all_ar)
+    a_idx = np.searchsorted(a_offsets, qflat, side="right") - 1
+    qpos = qflat - a_offsets[a_idx]
 
     b_idx = np.searchsorted(index.offsets, tflat, side="right") - 1
     tpos = tflat - index.offsets[b_idx]

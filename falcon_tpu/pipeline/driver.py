@@ -73,8 +73,11 @@ class Pipeline:
                     pass
                 jax.devices()  # force backend init; may raise if the chip
                 # is held by another process
-                return engine.make_device_aligner(
-                    W=max(256, 2 * self.p.overlap_band))
+                # W is the edit-band width of the extension DP (drift
+                # tolerance W/2), not the greedy band_tolerance; 256
+                # covers read-vs-read indel drift and keeps one compiled
+                # kernel shape per length bucket
+                return engine.make_device_aligner(W=256)
             except Exception as e:  # no usable device: host fallback
                 LOG.warning("device aligner unavailable (%s); using host", e)
         return None
@@ -159,18 +162,11 @@ class Pipeline:
             if cur_seed is not None:
                 yield self._make_group(store, cur_seed, cur, cutoff)
 
-        emitted = 0
+        n_core = ccfg.n_core if ccfg.n_core > 0 else (os.cpu_count() or 1)
         with open(preads_fn + ".tmp", "w") as out:
-            for g in groups():
-                if g is None:
-                    continue
-                seed_id, seqs_with_ids = g
-                gated = cns_runner.gate_group(seed_id, seqs_with_ids, ccfg)
-                if gated is None:
-                    continue
-                cns, sid = cns_runner.consensus_for_group(seed_id, gated,
-                                                          ccfg)
-                emitted += cns_runner.format_output(cns, sid, ccfg, out)
+            emitted = cns_runner.run_consensus(
+                (g for g in groups() if g is not None), ccfg, out,
+                n_core=n_core)
         os.rename(preads_fn + ".tmp", preads_fn)
         self.timings["phase0_consensus"] = time.time() - t_cns
         LOG.info("phase0: %d pread sequences -> %s", emitted, preads_fn)
