@@ -35,6 +35,8 @@ DEFAULTS = {
     "overlap_k": "14",
     "overlap_min_hits": "4",
     "overlap_band": "250",
+    "overlap_stride": "4",
+    "overlap_stride_pr": "16",
     "use_device": "true",
 }
 
@@ -126,4 +128,6 @@ class StageParams:
         self.overlap_k = int(cfg["overlap_k"])
         self.overlap_min_hits = int(cfg["overlap_min_hits"])
         self.overlap_band = int(cfg["overlap_band"])
+        self.overlap_stride = int(cfg["overlap_stride"])
+        self.overlap_stride_pr = int(cfg["overlap_stride_pr"])
         self.use_device = _coerce_bool(cfg["use_device"])

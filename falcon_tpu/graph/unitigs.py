@@ -441,12 +441,13 @@ def remove_dup_simple_path(ug, u_edge_data):
 
 
 def find_bundle(ug, u_edge_data, start_node, depth_cutoff, width_cutoff,
-                length_cutoff):
+                length_cutoff, compat=False):
     """Grow a bubble bundle from a branch node until it reconverges
-    (reference: find_bundle, ovlp_to_graph.py:461-651).  tips are kept in
-    insertion order where the reference iterates a set."""
-    tips = {}
-    bundle_edges = {}
+    (reference: find_bundle, ovlp_to_graph.py:461-651).  tips and bundle
+    edges are kept in insertion order unless compat (then: real sets, the
+    reference's hash-ordered iteration)."""
+    tips = PopSet(compat=compat)
+    bundle_edges = PopSet(compat=compat)
     bundle_nodes = set()
 
     local_graph = ug.ego_subgraph(start_node, depth_cutoff)
@@ -458,8 +459,8 @@ def find_bundle(ug, u_edge_data, start_node, depth_cutoff, width_cutoff,
     for (vv, ww, kk) in local_graph.out_edges(start_node):
         if (vv, ww, kk) not in bundle_edges and \
                 reverse_end(ww) not in bundle_nodes:
-            bundle_edges[(vv, ww, kk)] = None
-            tips[ww] = None
+            bundle_edges.add((vv, ww, kk))
+            tips.add(ww)
     for v in list(tips):
         bundle_nodes.add(v)
 
@@ -471,7 +472,7 @@ def find_bundle(ug, u_edge_data, start_node, depth_cutoff, width_cutoff,
             converage = False
             break
         if len(tips) == 1:
-            end_node, _ = tips.popitem()
+            end_node = tips.pop()
             if end_node not in length_to_node:
                 v = end_node
                 max_score_edge = None
@@ -537,12 +538,12 @@ def find_bundle(ug, u_edge_data, start_node, depth_cutoff, width_cutoff,
                         break
                     if (vv, ww, kk) not in bundle_edges and \
                             reverse_end(ww) not in bundle_nodes:
-                        tips[ww] = None
-                        bundle_edges[(vv, ww, kk)] = None
+                        tips.add(ww)
+                        bundle_edges.add((vv, ww, kk))
                         tip_updated = True
                         v_updated = True
                 if v_updated:
-                    del tips[v]
+                    tips.remove(v)
                     if len(tips) == 1:
                         break
             if loop_detect:
@@ -580,7 +581,8 @@ def construct_compound_paths(ug, u_edge_data, compat=False):
     compound_paths_0 = []
     for p in branch_order:
         if ug.out_degree(p) > 1:
-            coverage, data, _ = find_bundle(ug, u_edge_data, p, 48, 16, 500000)
+            coverage, data, _ = find_bundle(ug, u_edge_data, p, 48, 16,
+                                            500000, compat=compat)
             if coverage is True:
                 start_node, end_node, bundle_edges, length, score, depth = data
                 compound_paths_0.append(

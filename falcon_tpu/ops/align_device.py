@@ -37,8 +37,9 @@ INF = np.int32(1 << 20)
 def extend_batch_device(q, qlen, t, tlen, W=512, end_bonus=3):
     """Banded edit-distance extension for a batch of sequence pairs.
 
-    q: [B, Lq] int32 codes (0..3; pad with 4), qlen: [B] int32
-    t: [B, Lt] int32 codes (0..3; pad with 5), tlen: [B] int32
+    q: [B, Lq] int8/int32 codes (0..3; pad with 4), qlen: [B] int32
+    t: [B, Lt] int8/int32 codes (0..3; pad with 5), tlen: [B] int32
+    (int8 inputs minimize host->device transfer; cast happens on device)
     Returns (best_i, best_j, best_d): per pair, the boundary cell
     (i == qlen or j == tlen) maximizing (i+j) - end_bonus*d, and its edit
     distance.  (0, 0, 0) means no extension.
@@ -141,14 +142,19 @@ class DeviceExtender:
         self.W = W
         self.end_bonus = end_bonus
         self.max_batch = max_batch
-        # pallas kernel: ~3x the XLA scan on TPU, same results; auto-probe
+        # The pallas kernel is ~3x the XLA scan at steady state, but its
+        # executables never hit the persistent compilation cache on this
+        # runtime (each process pays ~3-7 min of mosaic compiles), while
+        # the XLA scan caches across processes.  Default to XLA; opt in to
+        # pallas for long-lived processes via FTPU_USE_PALLAS=1.
+        if use_pallas is None:
+            import os
+            use_pallas = os.environ.get("FTPU_USE_PALLAS") == "1"
         self.use_pallas = use_pallas
 
     def _extend(self, q, qlen, t, tlen):
         import jax.numpy as jnp
         import jax
-        if self.use_pallas is None:
-            self.use_pallas = any(d.platform != "cpu" for d in jax.devices())
         if len(jax.devices()) > 1:
             # data-parallel over the device mesh (multi-chip path)
             from ..parallel.mesh import ShardedExtender
@@ -183,6 +189,16 @@ class DeviceExtender:
         if not tasks:
             return []
         results = [None] * len(tasks)
+        # The extension stops at the first exhausted sequence, and the band
+        # limits |i - j| to W/2, so the longer side can be truncated to
+        # min(len) + W/2 + 8 without changing any result -- this collapses
+        # bucket sizes (and padded compute) to ~2x the shorter side.
+        cap_slack = self.W // 2 + 8
+        trimmed = []
+        for (qc, tc) in tasks:
+            cap = min(len(qc), len(tc)) + cap_slack
+            trimmed.append((qc[:cap], tc[:cap]))
+        tasks = trimmed
         # bucket by max(len) rounded to power of two
         buckets = {}
         for idx, (qc, tc) in enumerate(tasks):
@@ -190,7 +206,11 @@ class DeviceExtender:
             L = 1 << int(np.ceil(np.log2(m)))
             L = max(L, 256)
             buckets.setdefault(L, []).append(idx)
+        import logging, time as _time
+        _log = logging.getLogger(__name__)
         for L, idxs in buckets.items():
+            _t_bucket = _time.time()
+            _n_b = 0
             for ofs in range(0, len(idxs), self.max_batch):
                 chunk = idxs[ofs:ofs + self.max_batch]
                 # pad the batch dim so jit/pallas shapes recur: at least
@@ -198,8 +218,8 @@ class DeviceExtender:
                 B = 1 << int(np.ceil(np.log2(max(len(chunk), 8))))
                 if self.use_pallas is not False:
                     B = max(B, 256)
-                q = np.full((B, L), 4, dtype=np.int32)
-                t = np.full((B, L), 5, dtype=np.int32)
+                q = np.full((B, L), 4, dtype=np.int8)
+                t = np.full((B, L), 5, dtype=np.int8)
                 qlen = np.zeros(B, dtype=np.int32)
                 tlen = np.zeros(B, dtype=np.int32)
                 for bi_, idx in enumerate(chunk):
@@ -208,10 +228,16 @@ class DeviceExtender:
                     t[bi_, :len(tc)] = tc
                     qlen[bi_] = len(qc)
                     tlen[bi_] = len(tc)
+                _t0 = _time.time()
                 bi, bj, bd = self._extend(q, qlen, t, tlen)
                 bi = np.asarray(bi)
+                _log.debug("extender: batch L=%d B=%d real=%d %.2fs",
+                          L, B, len(chunk), _time.time() - _t0)
                 bj = np.asarray(bj)
                 bd = np.asarray(bd)
                 for k, idx in enumerate(chunk):
                     results[idx] = (int(bi[k]), int(bj[k]), int(bd[k]))
+                _n_b += 1
+            _log.info("extender: bucket L=%d tasks=%d batches=%d %.1fs",
+                      L, len(idxs), _n_b, _time.time() - _t_bucket)
         return results

@@ -53,11 +53,12 @@ class Pipeline:
         if stage == 0:
             return engine.OverlapParams(
                 k=p.overlap_k, min_hits=p.overlap_min_hits,
-                band_tolerance=p.overlap_band,
+                band_tolerance=p.overlap_band, stride=p.overlap_stride,
                 min_overlap=p.raw_ovl_minlen, min_idt=p.raw_ovl_idt)
+        # preads are ~99.9%% identical: sparse seeding suffices
         return engine.OverlapParams(
             k=p.overlap_k, min_hits=p.overlap_min_hits,
-            band_tolerance=p.overlap_band,
+            band_tolerance=p.overlap_band, stride=p.overlap_stride_pr,
             min_overlap=p.pr_ovl_minlen, min_idt=p.pr_ovl_idt)
 
     def _aligner(self):
