@@ -54,24 +54,21 @@ def bench_device(q, qlen, t, tlen, W=256, iters=3):
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/tmp/ftpu_jax_cache")
 
-    def run_pallas():
+    # The XLA kernel's executables hit the persistent compile cache
+    # across processes on this runtime; the pallas kernel (~3x faster at
+    # steady state) recompiles per process, so use it only when asked.
+    import os
+    if os.environ.get("FTPU_USE_PALLAS") == "1":
         from falcon_tpu.ops.align_pallas import extend_batch_pallas
         args = (jnp.asarray(q.astype(np.int8)), jnp.asarray(qlen),
                 jnp.asarray(t.astype(np.int8)), jnp.asarray(tlen))
-        return lambda: extend_batch_pallas(*args, W=W, block_b=256)
-
-    def run_xla():
+        fn = lambda: extend_batch_pallas(*args, W=W, block_b=256)
+    else:
         from falcon_tpu.ops.align_device import extend_batch_device
-        args = (jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
-                jnp.asarray(tlen))
-        return lambda: extend_batch_device(*args, W=W)
-
-    try:
-        fn = run_pallas()
-        _ = [np.asarray(x) for x in fn()]  # compile + force
-    except Exception:
-        fn = run_xla()
-        _ = [np.asarray(x) for x in fn()]
+        args = (jnp.asarray(q.astype(np.int32)), jnp.asarray(qlen),
+                jnp.asarray(t.astype(np.int32)), jnp.asarray(tlen))
+        fn = lambda: extend_batch_device(*args, W=W)
+    _ = [np.asarray(x) for x in fn()]  # compile (or cache hit) + force
     t0 = time.time()
     for _ in range(iters):
         _ = [np.asarray(x) for x in fn()]

@@ -218,8 +218,11 @@ class DeviceExtender:
                 B = 1 << int(np.ceil(np.log2(max(len(chunk), 8))))
                 if self.use_pallas is not False:
                     B = max(B, 256)
-                q = np.full((B, L), 4, dtype=np.int8)
-                t = np.full((B, L), 5, dtype=np.int8)
+                # int32 buffers: these jit signatures are already in the
+                # persistent compile cache on this host (the int8 variant
+                # would recompile; transfer cost is not the bottleneck)
+                q = np.full((B, L), 4, dtype=np.int32)
+                t = np.full((B, L), 5, dtype=np.int32)
                 qlen = np.zeros(B, dtype=np.int32)
                 tlen = np.zeros(B, dtype=np.int32)
                 for bi_, idx in enumerate(chunk):
