@@ -100,6 +100,30 @@ def bench_reference_c(q, qlen, t, tlen, max_pairs=8):
 
 
 def main():
+    import argparse
+    import subprocess
+    p = argparse.ArgumentParser()
+    p.add_argument("--kernel", choices=("auto", "pallas", "xla"),
+                   default="auto")
+    args = p.parse_args()
+
+    if args.kernel == "auto":
+        # The pallas kernel is ~3-4x the XLA scan but must recompile in
+        # every process (its executables bypass the persistent cache on
+        # this runtime).  Try it in a time-boxed subprocess; fall back to
+        # the reliably-cached XLA kernel.
+        env = dict(os.environ, FTPU_USE_PALLAS="1")
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--kernel", "pallas"],
+                env=env, capture_output=True, timeout=540, text=True)
+            if out.returncode == 0 and out.stdout.strip():
+                print(out.stdout.strip().splitlines()[-1])
+                return
+        except subprocess.TimeoutExpired:
+            pass
+
     B, L, err = 512, 8192, 0.2
     q, qlen, t, tlen = make_pairs(B, L, err)
     dev_bps = bench_device(q, qlen, t, tlen)
@@ -111,6 +135,8 @@ def main():
         "value": round(dev_bps, 1),
         "unit": "bases/s",
         "vs_baseline": round(dev_bps / ref_bps, 3),
+        "kernel": "pallas" if os.environ.get("FTPU_USE_PALLAS") == "1"
+        else "xla",
     }))
 
 

@@ -155,7 +155,12 @@ def get_cns_from_align_tags(tag_seqs, t_len, min_cov):
                 bb = _IDX_TO_LOWER[ck]
         else:
             bb = "$"  # C leaves previous value; initial is '$'
-        pi, pj, pkk = best_link[cur]
+        link = best_link.get(cur)
+        if link is None:
+            # a link pointed at a never-populated column (only possible
+            # with t_offset > 0; the reference walks calloc zeros here)
+            break
+        pi, pj, pkk = link
         i = pi
         if i == -1 or index >= t_len * 2:
             break
@@ -166,6 +171,45 @@ def get_cns_from_align_tags(tag_seqs, t_len, min_cov):
             index += 1
 
     return "".join(reversed(out))
+
+
+def generate_utg_consensus(seqs, offsets, min_cov, K, min_idt):
+    """Offset-based unitig polishing consensus (reference:
+    generate_utg_consensus, src/c/falcon.c:668-773): seqs[0] is the
+    unitig backbone; each support read is pre-placed at offsets[i] and
+    aligned with band 500 over the overlapping window, then fed to the
+    same MSA/DP with t_offset.  Deviation from the reference: its
+    backtrack walks calloc'd zero links when a path reaches an
+    unpopulated column (possible with t_offset > 0), which is undefined
+    behavior; we stop the walk there instead."""
+    if not seqs:
+        return ""
+    max_diff = 1.0 - min_idt
+    utg = seqs[0]
+    utg_len = len(utg)
+    tag_seqs = []
+    # the backbone aligns to itself as the first tag sequence
+    tag_seqs.append(get_align_tags(utg.encode(), utg.encode(), 0, 0, 0, 0))
+    for j in range(1, len(seqs)):
+        r = seqs[j]
+        r_len = len(r)
+        off = int(offsets[j])
+        if off < 0:
+            if (r_len + off) < 128:
+                continue
+            n = min(r_len + off, utg_len)
+            aln = _align.align(r[-off:-off + n], utg[:n], 500, True)
+            off = 0
+        else:
+            if off > utg_len - 128:
+                continue
+            n = min(utg_len - off, r_len)
+            aln = _align.align(r[:n], utg[off:off + n], 500, True)
+        if aln.aln_str_size > 500 and \
+                (float(aln.dist) / float(aln.aln_str_size)) < max_diff:
+            tag_seqs.append(get_align_tags(
+                aln.q_aln_str, aln.t_aln_str, 0, 0, j, off))
+    return get_cns_from_align_tags(tag_seqs, utg_len, 0)
 
 
 def generate_consensus(seqs, min_cov, K, min_idt):

@@ -284,17 +284,42 @@ class Pipeline:
         return p_ctg
 
 
-def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
+def setup_logging(logger_cfg=None):
+    """Default stderr INFO logging, or a user logging config file --
+    .json (logging.config.dictConfig) or .ini (fileConfig), the reference
+    fc_run's second positional argument
+    (reference: run_support.py:463-534)."""
+    if logger_cfg:
+        import json as _json
+        import logging.config as _lc
+        if logger_cfg.endswith(".json"):
+            with open(logger_cfg) as f:
+                _lc.dictConfig(_json.load(f))
+        else:
+            _lc.fileConfig(logger_cfg)
+        return
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
     if not argv:
-        print("usage: python -m falcon_tpu.pipeline.driver <cfg> [out_dir]",
-              file=sys.stderr)
+        print("usage: python -m falcon_tpu.pipeline.driver <cfg> "
+              "[logger.json|out_dir]", file=sys.stderr)
         return 2
     cfg = argv[0]
-    out_dir = argv[1] if len(argv) > 1 else "."
+    out_dir = "."
+    logger_cfg = None
+    if len(argv) > 1:
+        # reference CLI compat: `fc_run cfg logger.json`; otherwise the
+        # second arg is the output directory
+        if argv[1].endswith((".json", ".ini")) and os.path.isfile(argv[1]):
+            logger_cfg = argv[1]
+        else:
+            out_dir = argv[1]
+    setup_logging(logger_cfg)
     Pipeline(cfg, out_dir).run()
     return 0
 
