@@ -142,14 +142,15 @@ class DeviceExtender:
         self.W = W
         self.end_bonus = end_bonus
         self.max_batch = max_batch
-        # The pallas kernel is ~3x the XLA scan at steady state, but its
-        # executables never hit the persistent compilation cache on this
-        # runtime (each process pays ~3-7 min of mosaic compiles), while
-        # the XLA scan caches across processes.  Default to XLA; opt in to
-        # pallas for long-lived processes via FTPU_USE_PALLAS=1.
+        # The pallas kernel is ~4x the XLA scan at steady state and costs
+        # ~6s of mosaic compile per (L-bucket, W) shape, paid once per
+        # process (its executables bypass the persistent compilation
+        # cache on this runtime, unlike the XLA scan).  Any pipeline run
+        # amortizes that immediately; FTPU_USE_PALLAS=0 opts out for
+        # short-lived probe processes.
         if use_pallas is None:
             import os
-            use_pallas = os.environ.get("FTPU_USE_PALLAS") == "1"
+            use_pallas = os.environ.get("FTPU_USE_PALLAS", "1") != "0"
         self.use_pallas = use_pallas
 
     def _extend(self, q, qlen, t, tlen):
@@ -169,8 +170,10 @@ class DeviceExtender:
                 from .align_pallas import extend_batch_pallas
                 B = q.shape[0]
                 return extend_batch_pallas(
-                    jnp.asarray(q.astype(np.int8)), jnp.asarray(qlen),
-                    jnp.asarray(t.astype(np.int8)), jnp.asarray(tlen),
+                    jnp.asarray(q.astype(np.int8, copy=False)),
+                    jnp.asarray(qlen),
+                    jnp.asarray(t.astype(np.int8, copy=False)),
+                    jnp.asarray(tlen),
                     W=self.W, end_bonus=self.end_bonus,
                     block_b=min(256, B))
             except Exception:
@@ -218,11 +221,12 @@ class DeviceExtender:
                 B = 1 << int(np.ceil(np.log2(max(len(chunk), 8))))
                 if self.use_pallas is not False:
                     B = max(B, 256)
-                # int32 buffers: these jit signatures are already in the
-                # persistent compile cache on this host (the int8 variant
-                # would recompile; transfer cost is not the bottleneck)
-                q = np.full((B, L), 4, dtype=np.int32)
-                t = np.full((B, L), 5, dtype=np.int32)
+                # int8 buffers for the pallas path (4x smaller transfers);
+                # the XLA scan path keeps int32 (its jit signatures are in
+                # the persistent compile cache on this host)
+                dt = np.int8 if self.use_pallas is not False else np.int32
+                q = np.full((B, L), 4, dtype=dt)
+                t = np.full((B, L), 5, dtype=dt)
                 qlen = np.zeros(B, dtype=np.int32)
                 tlen = np.zeros(B, dtype=np.int32)
                 for bi_, idx in enumerate(chunk):
