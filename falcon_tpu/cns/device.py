@@ -1,0 +1,290 @@
+"""Device (TPU) consensus engine: batched alignment+traceback on chip,
+exact MSA/DP on host.
+
+The fast-path replacement for the per-group host kernel in cns.runner
+(reference call stack: consensus.py:102-158 -> falcon.c:562 per support:
+kmer range + DW_banded align + tags + MSA).  Division of labor here:
+
+  device   banded alignment WITH traceback of every (support, seed-range)
+           pair of a chunk of seed groups, batched and length-bucketed
+           (ops.align_tb); this is the FLOP-dominant part
+  host     gapped-string reconstruction (vectorized cumsums) and the exact
+           align-tag MSA + best-path DP (native C++ ftpu_cns_from_alns;
+           ops.consensus_dp fallback), which is O(total aligned bases) with
+           tiny constants
+
+Alignment ranges come from the overlap records the driver already holds
+(a_start..a_end on the seed, b_start..b_end on the support) instead of
+re-seeding each support against its seed the way LA4Falcon-fed fc_consensus
+must (reference consensus.py gets bare sequences over a pipe; we keep the
+coordinates).  Range gates mirror generate_consensus (falcon.c:601-628):
+>=100bp on both sides, <=5% indel imbalance, alignment >500bp and
+dist/size < 1-min_idt.
+
+This path is NOT bit-exact vs the reference (the device aligner is an
+anti-diagonal banded edit DP, not the greedy O(ND) wavefront; see
+ops.align_device's rationale) -- it is quality-validated by downstream
+contig parity (tests/test_cns_device.py, bench_e2e).  The bit-exact host
+path (cns.runner with ops.native) remains the default for stream inputs.
+"""
+import logging
+
+import numpy as np
+
+from ..ops import consensus_dp
+from ..ops import native
+
+LOG = logging.getLogger(__name__)
+
+MAX_SEQ_LEN = 100000  # reference clip (consensus.py:178)
+
+_CODE = np.full(256, 4, dtype=np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    _CODE[_c] = _i
+    _CODE[ord(chr(_c).lower())] = _i
+
+
+def seq_to_codes(seq):
+    return _CODE[np.frombuffer(seq.encode() if isinstance(seq, str)
+                               else seq, dtype=np.uint8)]
+
+
+def gate_group_ranged(seed_id, items, cfg):
+    """The get_seq_data gates (reference consensus.py:161-209) over
+    (read_id, seq, rng) items, keeping each support's alignment range.
+
+    items: seed first; rng = (s1, e1, s2, e2) in (support, seed)
+    coordinates on the seed's strand, or None (seed / unknown).
+    Returns (seed_seq, [(seq, rng, is_seed_self), ...]) or None."""
+    sups = []
+    seed_seq = None
+    seed_len = 0
+    read_ids = set()
+    read_cov = 0
+    for read_id, seq, rng in items:
+        if len(seq) > MAX_SEQ_LEN:
+            seq = seq[:MAX_SEQ_LEN - 1]
+            rng = None if rng is None else (
+                min(rng[0], len(seq)), min(rng[1], len(seq)),
+                rng[2], rng[3])
+        if len(seq) < cfg.min_len_aln:
+            continue
+        if seed_seq is None:
+            seed_seq = seq
+            seed_len = len(seq)
+        if read_id not in read_ids:
+            sups.append((seq, rng, read_id == items[0][0]))
+            read_ids.add(read_id)
+            read_cov += len(seq)
+    if seed_seq is None:
+        return None
+    if len(sups) + 1 < cfg.min_n_read or \
+            read_cov // seed_len < cfg.min_cov_aln:
+        return None
+    # get_longest_reads (consensus.py:26-45): sort supports by length desc,
+    # cap by count and by coverage of the seed
+    sups.sort(key=lambda x: -len(x[0]))
+    longest_n = cfg.max_n_read - 1
+    if cfg.max_cov_aln > 0:
+        n = 0
+        cov = 0
+        for seq, _, _ in sups:
+            if cov // seed_len > cfg.max_cov_aln:
+                break
+            n += 1
+            cov += len(seq)
+        longest_n = min(n, cfg.max_n_read - 1)
+    return seed_seq, sups[:longest_n]
+
+
+def _clamp_range(rng, sup_len, seed_len):
+    s1, e1, s2, e2 = rng
+    s1 = max(0, min(s1, sup_len))
+    e1 = max(s1, min(e1, sup_len))
+    s2 = max(0, min(s2, seed_len))
+    e2 = max(s2, min(e2, seed_len))
+    return s1, e1, s2, e2
+
+
+def _range_ok(rng):
+    """generate_consensus range gates (falcon.c:605-612)."""
+    s1, e1, s2, e2 = rng
+    l1 = e1 - s1
+    l2 = e2 - s2
+    return (l1 >= 100 and l2 >= 100 and
+            abs(l1 - l2) <= int(0.5 * 0.10 * (l1 + l2)))
+
+
+class DeviceCns:
+    """Chunked device consensus over gated groups."""
+
+    def __init__(self, W=256, max_cells=1 << 19, chunk_tasks=4096,
+                 use_pallas=None, moves_budget=1 << 30):
+        self.W = W
+        self.max_cells = max_cells      # B*L budget per device batch
+        self.chunk_tasks = chunk_tasks  # alignment tasks per chunk
+        self.moves_budget = moves_budget  # HBM bytes for one batch's trace
+        if use_pallas is None:
+            import os
+            use_pallas = os.environ.get("FTPU_USE_PALLAS", "1") != "0"
+        self.use_pallas = use_pallas
+
+    # -- device batching ----------------------------------------------------
+    def _batch_for(self, L):
+        """Batch size: bounded by the [S, B, W] move-plane HBM budget."""
+        B = max(1, min(self.max_cells,
+                       self.moves_budget // (2 * self.W)) // max(L, 1))
+        if self.use_pallas is not False:
+            return max(64, (B // 64) * 64)
+        return max(8, 1 << int(np.floor(np.log2(B))))
+
+    def _align_tb(self, q, qlen, t, tlen):
+        import jax.numpy as jnp
+        if self.use_pallas:
+            try:
+                from ..ops.align_tb_pallas import align_tb_batch_pallas
+                B = q.shape[0]
+                return align_tb_batch_pallas(
+                    jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
+                    jnp.asarray(tlen), W=self.W, block_b=min(256, B))
+            except Exception:
+                LOG.warning("pallas traceback kernel failed; "
+                            "falling back to XLA", exc_info=True)
+                self.use_pallas = False
+        from ..ops.align_tb import align_tb_batch
+        return align_tb_batch(jnp.asarray(q), jnp.asarray(qlen),
+                              jnp.asarray(t), jnp.asarray(tlen), W=self.W)
+
+    def align_tasks(self, tasks):
+        """tasks: [(q_codes, t_codes)] -> [(dist, n_cols, q_aln, t_aln)]
+        (q_aln/t_aln ASCII bytes; n_cols == 0 when no alignment)."""
+        from ..ops.align_tb import moves_to_alignment
+        results = [None] * len(tasks)
+        buckets = {}
+        for idx, (qc, tc) in enumerate(tasks):
+            m = max(len(qc), len(tc), 1)
+            L = max(256, 1 << int(np.ceil(np.log2(m))))
+            buckets.setdefault(L, []).append(idx)
+        inflight = []
+        for L in sorted(buckets):
+            idxs = buckets[L]
+            B = self._batch_for(L)
+            for ofs in range(0, len(idxs), B):
+                chunk = idxs[ofs:ofs + B]
+                q = np.full((B, L), 4, dtype=np.int8)
+                t = np.full((B, L), 5, dtype=np.int8)
+                qlen = np.zeros(B, dtype=np.int32)
+                tlen = np.zeros(B, dtype=np.int32)
+                for bi_, idx in enumerate(chunk):
+                    qc, tc = tasks[idx]
+                    q[bi_, :len(qc)] = qc
+                    t[bi_, :len(tc)] = tc
+                    qlen[bi_] = len(qc)
+                    tlen[bi_] = len(tc)
+                inflight.append((chunk, self._align_tb(q, qlen, t, tlen)))
+        for chunk, (bi, bj, bd, mv) in inflight:
+            bi = np.asarray(bi)
+            bj = np.asarray(bj)
+            bd = np.asarray(bd)
+            mv = np.asarray(mv)
+            for k, idx in enumerate(chunk):
+                qc, tc = tasks[idx]
+                qa, ta = moves_to_alignment(qc, tc, mv[:, k])
+                ncols = len(qa)
+                results[idx] = (int(bd[k]), ncols, qa, ta)
+        return results
+
+    # -- per-chunk consensus --------------------------------------------------
+    def consensus_chunk(self, chunk, cfg):
+        """chunk: [(seed_id, seed_seq, sups)] from gate_group_ranged.
+        Returns [(seed_id, consensus_str)]."""
+        max_diff = 1.0 - cfg.min_idt
+        tasks = []
+        task_of = []    # (group_idx, sup_idx, s1, s2)
+        group_alns = [[] for _ in chunk]  # per group: (order, aln tuple)
+        for gi, (seed_id, seed_seq, sups) in enumerate(chunk):
+            seed_codes = seq_to_codes(seed_seq)
+            for si, (sup, rng, is_self) in enumerate(sups):
+                if is_self:
+                    # identity alignment, no device work needed
+                    group_alns[gi].append(
+                        (si, (seed_seq.encode(), seed_seq.encode(), 0, 0)))
+                    continue
+                if rng is None:
+                    rng = self._host_range(sup, seed_seq, cfg)
+                    if rng is None:
+                        continue
+                rng = _clamp_range(rng, len(sup), len(seed_seq))
+                if not _range_ok(rng):
+                    continue
+                s1, e1, s2, e2 = rng
+                tasks.append((seq_to_codes(sup)[s1:e1],
+                              seed_codes[s2:e2]))
+                task_of.append((gi, si, s1, s2))
+        res = self.align_tasks(tasks)
+        for (gi, si, s1, s2), r in zip(task_of, res):
+            dist, ncols, qa, ta = r
+            if ncols > 500 and (float(dist) / float(ncols)) < max_diff:
+                group_alns[gi].append((si, (qa, ta, s1, s2)))
+        out = []
+        for gi, (seed_id, seed_seq, sups) in enumerate(chunk):
+            alns = [a for _, a in sorted(group_alns[gi], key=lambda x: x[0])]
+            if not alns:
+                out.append((seed_id, ""))
+                continue
+            out.append((seed_id, self._msa(len(seed_seq), alns,
+                                           cfg.min_cov)))
+        return out
+
+    def _msa(self, t_len, alns, min_cov):
+        if native.available():
+            return native.cns_from_alns(t_len, alns, min_cov)
+        tag_seqs = [consensus_dp.get_align_tags(qa, ta, s1, s2, j, 0)
+                    for j, (qa, ta, s1, s2) in enumerate(alns)]
+        return consensus_dp.get_cns_from_align_tags(tag_seqs, t_len,
+                                                    min_cov)
+
+    def _host_range(self, sup, seed, cfg):
+        """Range fallback when no overlap coordinates travel with the
+        group (stream inputs): host k-mer chain, reference semantics."""
+        from ..ops import kmer as _kmer
+        lookup = _kmer.KmerLookup(seed, cfg.K)
+        qp, tp = lookup.find_kmer_pos_for_seq(sup)
+        if len(qp) == 0:
+            return None
+        r = _kmer.find_best_aln_range(qp, tp, cfg.K, cfg.K * 6, 5)
+        return (r.s1, r.e1, r.s2, r.e2)
+
+
+def run_consensus_device(groups, cfg, out, dev=None):
+    """Device-path drop-in for cns.runner.run_consensus.
+
+    groups: iterable of (seed_id, [(read_id, seq, rng), ...]) with the
+    seed first (rng=None for it).  Writes pread FASTA to `out`; returns
+    the number of sequences emitted."""
+    from . import runner
+    dev = dev or DeviceCns()
+    emitted = 0
+    chunk = []
+    n_tasks = 0
+
+    def flush():
+        nonlocal emitted, chunk, n_tasks
+        if not chunk:
+            return
+        for seed_id, cns in dev.consensus_chunk(chunk, cfg):
+            emitted += runner.format_output(cns, seed_id, cfg, out)
+        chunk = []
+        n_tasks = 0
+
+    for seed_id, items in groups:
+        gated = gate_group_ranged(seed_id, items, cfg)
+        if gated is None:
+            continue
+        seed_seq, sups = gated
+        chunk.append((seed_id, seed_seq, sups))
+        n_tasks += len(sups)
+        if n_tasks >= dev.chunk_tasks:
+            flush()
+    flush()
+    return emitted

@@ -535,6 +535,29 @@ char* ftpu_generate_consensus(const char** seqs, unsigned n_seq,
 
 void ftpu_free(char* p) { free(p); }
 
+// Consensus from precomputed gapped alignments -- the back half of
+// generate_consensus (tags -> MSA -> DP -> backtrack) with the seeding and
+// alignment already done elsewhere (the TPU alignment+traceback kernel,
+// falcon_tpu/ops/align_tb.py).  qas/tas: n NUL-terminated gapped ASCII
+// strings; s1s/s2s: the per-alignment range starts in support/seed
+// coordinates (the reference's aln_range s1/s2, falcon.c:119-120).
+char* ftpu_cns_from_alns(int t_len, int n, const char** qas,
+                         const char** tas, const int* s1s, const int* s2s,
+                         unsigned min_cov) {
+  vector<vector<Tag>> tag_seqs;
+  tag_seqs.reserve(n);
+  for (int j = 0; j < n; ++j) {
+    tag_seqs.emplace_back();
+    make_tags(string(qas[j]), string(tas[j]), s1s[j], s2s[j], 0,
+              &tag_seqs.back());
+  }
+  string s;
+  if (!tag_seqs.empty()) s = cns_from_tag_seqs(tag_seqs, t_len, (int)min_cov);
+  char* out = (char*)malloc(s.size() + 1);
+  memcpy(out, s.c_str(), s.size() + 1);
+  return out;
+}
+
 // Banded O(ND) alignment.  out6 = [q_s, q_e, t_s, t_e, dist, size].
 // With want_strings, *q_aln/*t_aln receive malloc'd NUL-terminated gapped
 // strings (caller frees with ftpu_free).  Returns 1 if aligned.

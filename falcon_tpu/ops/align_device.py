@@ -143,10 +143,10 @@ class DeviceExtender:
         self.end_bonus = end_bonus
         self.max_batch = max_batch
         # The pallas kernel is ~4x the XLA scan at steady state and costs
-        # ~6s of mosaic compile per (L-bucket, W) shape, paid once per
-        # process (its executables bypass the persistent compilation
-        # cache on this runtime, unlike the XLA scan).  Any pipeline run
-        # amortizes that immediately; FTPU_USE_PALLAS=0 opts out for
+        # ~6s of mosaic compile per (L-bucket, W) shape; compiled
+        # executables land in the persistent jax compilation cache, so
+        # the cost is paid once per shape per HOST (keep batch shapes
+        # stable -- see _batch_for).  FTPU_USE_PALLAS=0 opts out for
         # short-lived probe processes.
         if use_pallas is None:
             import os
@@ -211,20 +211,21 @@ class DeviceExtender:
             buckets.setdefault(L, []).append(idx)
         import logging, time as _time
         _log = logging.getLogger(__name__)
-        for L, idxs in buckets.items():
-            _t_bucket = _time.time()
-            _n_b = 0
-            for ofs in range(0, len(idxs), self.max_batch):
-                chunk = idxs[ofs:ofs + self.max_batch]
-                # pad the batch dim so jit/pallas shapes recur: at least
-                # the pallas block size (256) to keep one kernel shape
-                B = 1 << int(np.ceil(np.log2(max(len(chunk), 8))))
-                if self.use_pallas is not False:
-                    B = max(B, 256)
-                # int8 buffers for the pallas path (4x smaller transfers);
-                # the XLA scan path keeps int32 (its jit signatures are in
-                # the persistent compile cache on this host)
-                dt = np.int8 if self.use_pallas is not False else np.int32
+        # Two-phase async pipeline: dispatch every batch first (JAX queues
+        # the transfers + kernels without blocking), then collect.  This
+        # hides the per-batch host->device->host round-trip latency (large
+        # on a networked chip) behind device compute of other batches.
+        # Each bucket uses ONE batch shape (B = batch cap for its L) so
+        # there is exactly one compiled executable per L bucket.
+        inflight = []  # (chunk_idxs, device results)
+        _t_disp = _time.time()
+        n_batches = 0
+        for L in sorted(buckets):
+            idxs = buckets[L]
+            B = self._batch_for(L)
+            dt = np.int8 if self.use_pallas is not False else np.int32
+            for ofs in range(0, len(idxs), B):
+                chunk = idxs[ofs:ofs + B]
                 q = np.full((B, L), 4, dtype=dt)
                 t = np.full((B, L), 5, dtype=dt)
                 qlen = np.zeros(B, dtype=np.int32)
@@ -235,16 +236,28 @@ class DeviceExtender:
                     t[bi_, :len(tc)] = tc
                     qlen[bi_] = len(qc)
                     tlen[bi_] = len(tc)
-                _t0 = _time.time()
-                bi, bj, bd = self._extend(q, qlen, t, tlen)
-                bi = np.asarray(bi)
-                _log.debug("extender: batch L=%d B=%d real=%d %.2fs",
-                          L, B, len(chunk), _time.time() - _t0)
-                bj = np.asarray(bj)
-                bd = np.asarray(bd)
-                for k, idx in enumerate(chunk):
-                    results[idx] = (int(bi[k]), int(bj[k]), int(bd[k]))
-                _n_b += 1
-            _log.info("extender: bucket L=%d tasks=%d batches=%d %.1fs",
-                      L, len(idxs), _n_b, _time.time() - _t_bucket)
+                inflight.append((chunk, self._extend(q, qlen, t, tlen)))
+                n_batches += 1
+        _t_coll = _time.time()
+        for chunk, (bi, bj, bd) in inflight:
+            bi = np.asarray(bi)
+            bj = np.asarray(bj)
+            bd = np.asarray(bd)
+            for k, idx in enumerate(chunk):
+                results[idx] = (int(bi[k]), int(bj[k]), int(bd[k]))
+        _log.info("extender: %d tasks, %d buckets, %d batches; "
+                  "dispatch %.1fs collect %.1fs",
+                  len(tasks), len(buckets), n_batches,
+                  _t_coll - _t_disp, _time.time() - _t_coll)
         return results
+
+    def _batch_for(self, L):
+        """Batch size for one padded length: aim for a constant cell count
+        per launch (fewer, fuller launches for short buckets) within
+        max_batch..4096, pallas block-size aligned."""
+        target_cells = self.max_batch * 8192
+        B = max(int(target_cells // max(L, 1)), self.max_batch)
+        B = min(B, 4096)
+        # one pallas grid block is 256 rows; keep B a multiple
+        return max(256, (B // 256) * 256) if self.use_pallas is not False \
+            else max(8, 1 << int(np.ceil(np.log2(B))))

@@ -49,6 +49,11 @@ def _build_and_load():
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p)]
     lib.ftpu_align.restype = ctypes.c_int
+    lib.ftpu_cns_from_alns.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_uint]
+    lib.ftpu_cns_from_alns.restype = ctypes.c_void_p
     lib.ftpu_seed_hits.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
@@ -137,6 +142,29 @@ def seed_hits(q_codes, q_offsets, t_codes, t_offsets, K, stride, max_freq):
         lib.ftpu_free_i64(qp)
         lib.ftpu_free_i64(tp)
     return qhits, thits
+
+
+def cns_from_alns(t_len, alns, min_cov):
+    """Consensus from precomputed gapped alignments.
+
+    alns: list of (q_aln bytes, t_aln bytes, s1, s2).  Exact tag/MSA/DP
+    semantics of generate_consensus given those alignments."""
+    lib = get_lib()
+    n = len(alns)
+    qas = (ctypes.c_char_p * max(n, 1))()
+    tas = (ctypes.c_char_p * max(n, 1))()
+    s1s = (ctypes.c_int * max(n, 1))()
+    s2s = (ctypes.c_int * max(n, 1))()
+    for i, (qa, ta, s1, s2) in enumerate(alns):
+        qas[i] = _as_bytes(qa)
+        tas[i] = _as_bytes(ta)
+        s1s[i] = s1
+        s2s[i] = s2
+    p = lib.ftpu_cns_from_alns(t_len, n, qas, tas, s1s, s2s, min_cov)
+    try:
+        return ctypes.string_at(p).decode()
+    finally:
+        lib.ftpu_free(p)
 
 
 def generate_consensus(seqs, min_cov, K, min_idt):

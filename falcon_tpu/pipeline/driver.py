@@ -164,10 +164,18 @@ class Pipeline:
                 yield self._make_group(store, cur_seed, cur, cutoff)
 
         n_core = ccfg.n_core if ccfg.n_core > 0 else (os.cpu_count() or 1)
+        use_dev_cns = (self.p.use_device and
+                       os.environ.get("FTPU_CNS_DEVICE", "1") != "0" and
+                       self._aligner() is not None)
         with open(preads_fn + ".tmp", "w") as out:
-            emitted = cns_runner.run_consensus(
-                (g for g in groups() if g is not None), ccfg, out,
-                n_core=n_core)
+            live = (g for g in groups() if g is not None)
+            if use_dev_cns:
+                from ..cns.device import run_consensus_device
+                emitted = run_consensus_device(live, ccfg, out)
+            else:
+                emitted = cns_runner.run_consensus(
+                    ((sid, [(rid, seq) for rid, seq, _ in items])
+                     for sid, items in live), ccfg, out, n_core=n_core)
         os.rename(preads_fn + ".tmp", preads_fn)
         self.timings["phase0_consensus"] = time.time() - t_cns
         LOG.info("phase0: %d pread sequences -> %s", emitted, preads_fn)
@@ -185,17 +193,27 @@ class Pipeline:
         return preads_fn
 
     def _make_group(self, store, seed_id, ovls, cutoff):
+        """(seed_id, [(read_id, seq, rng), ...]) with the seed first.
+
+        rng = (s1, e1, s2, e2): the support/seed alignment range from the
+        overlap record, on the seed's strand (the device consensus path
+        reuses these instead of re-seeding; reference fc_consensus gets
+        bare sequences over the LA4Falcon pipe and must re-seed)."""
         rid = int(seed_id)
         if store.lengths[rid] < cutoff:
             return None
         seed_seq = store.get_seq(rid)
-        out = [(seed_id, seed_seq)]
+        out = [(seed_id, seed_seq, None)]
         for o in ovls:
             b_rid = int(o.b_id)
             codes = store.get_codes(b_rid)
             if o.b_strand == 1:
                 codes = readstore.revcomp_codes(codes)
-            out.append((o.b_id, readstore.decode_seq(codes)))
+                rng = (o.b_len - o.b_end, o.b_len - o.b_start,
+                       o.a_start, o.a_end)
+            else:
+                rng = (o.b_start, o.b_end, o.a_start, o.a_end)
+            out.append((o.b_id, readstore.decode_seq(codes), rng))
         return seed_id, out
 
     # -- phase 1: pread overlap --------------------------------------------
@@ -275,10 +293,32 @@ class Pipeline:
 
     def run(self):
         t0 = time.time()
-        preads = self.phase0()
-        ovl = self.phase1(preads)
-        p_ctg = self.phase2(ovl)
+        profile_dir = os.environ.get("FTPU_PROFILE", "")
+        prof = None
+        if profile_dir:
+            # per-run device trace for xprof/tensorboard (the reference has
+            # no profiler; SURVEY.md section 5 asks for JAX-profiler hooks)
+            try:
+                import jax.profiler as prof
+                prof.start_trace(profile_dir)
+                LOG.info("profiling to %s", profile_dir)
+            except Exception:
+                LOG.exception("could not start the JAX profiler")
+                prof = None
+        try:
+            preads = self.phase0()
+            ovl = self.phase1(preads)
+            p_ctg = self.phase2(ovl)
+        finally:
+            if prof is not None:
+                prof.stop_trace()
         self.timings["total"] = time.time() - t0
+        try:
+            import json as _json
+            with open(os.path.join(self.out_dir, "timings.json"), "w") as f:
+                _json.dump(self.timings, f, indent=2, sort_keys=True)
+        except OSError:
+            pass
         LOG.info("pipeline done in %.1fs -> %s", self.timings["total"],
                  p_ctg)
         return p_ctg

@@ -51,3 +51,33 @@ def test_sharded_uneven_batch_padding():
     bi, bj, bd = ext.extend(q, qlen, t, tlen)
     assert bi.shape == (13,)
     assert (bi > 0).all()
+
+
+def test_device_extender_run_batching():
+    """DeviceExtender.run: bucketed async batching returns per-task results
+    identical to the one-shot kernel on each task alone."""
+    from falcon_tpu.ops.align_device import DeviceExtender, \
+        extend_batch_device
+    import jax.numpy as jnp
+    rng = np.random.RandomState(7)
+    tasks = []
+    for n in [30, 100, 300, 517, 1200, 40, 0, 5]:
+        tt = rng.randint(0, 4, n).astype(np.uint8)
+        qq = tt.copy()
+        if n:
+            sub = rng.rand(n) < 0.1
+            qq[sub] = (qq[sub] + 1) % 4
+        tasks.append((qq, tt))
+    ext = DeviceExtender(W=128, max_batch=4, use_pallas=False)
+    got = ext.run(tasks)
+    assert len(got) == len(tasks)
+    for (qc, tc), (i, j, d) in zip(tasks, got):
+        L = max(len(qc), len(tc), 8)
+        q = np.full((1, L), 4, np.int32)
+        t = np.full((1, L), 5, np.int32)
+        q[0, :len(qc)] = qc
+        t[0, :len(tc)] = tc
+        ri, rj, rd = extend_batch_device(
+            jnp.asarray(q), jnp.asarray([len(qc)], dtype=np.int32),
+            jnp.asarray(t), jnp.asarray([len(tc)], dtype=np.int32), W=128)
+        assert (int(ri[0]), int(rj[0]), int(rd[0])) == (i, j, d)
