@@ -155,17 +155,20 @@ class DeviceCns:
         return align_tb_batch(jnp.asarray(q), jnp.asarray(qlen),
                               jnp.asarray(t), jnp.asarray(tlen), W=self.W)
 
-    def align_tasks(self, tasks):
-        """tasks: [(q_codes, t_codes)] -> [(dist, n_cols, q_aln, t_aln)]
-        (q_aln/t_aln ASCII bytes; n_cols == 0 when no alignment)."""
-        from ..ops.align_tb import moves_to_alignment
-        results = [None] * len(tasks)
+    def dispatch_tasks(self, tasks):
+        """Queue all task batches on the device without blocking.
+
+        tasks: [(q_codes, t_codes)].  Returns the in-flight handle list
+        for collect_tasks; JAX async dispatch lets the device chew on
+        these while the host does other work (the chunk pipeline)."""
+        import time as _time
         buckets = {}
         for idx, (qc, tc) in enumerate(tasks):
             m = max(len(qc), len(tc), 1)
             L = max(256, 1 << int(np.ceil(np.log2(m))))
             buckets.setdefault(L, []).append(idx)
         inflight = []
+        t_disp = _time.time()
         for L in sorted(buckets):
             idxs = buckets[L]
             B = self._batch_for(L)
@@ -182,23 +185,49 @@ class DeviceCns:
                     qlen[bi_] = len(qc)
                     tlen[bi_] = len(tc)
                 inflight.append((chunk, self._align_tb(q, qlen, t, tlen)))
-        for chunk, (bi, bj, bd, mv) in inflight:
+        LOG.info("cns.device: dispatched %d aln tasks, %d buckets %s, "
+                 "%d batches in %.1fs", len(tasks), len(buckets),
+                 sorted(buckets), len(inflight), _time.time() - t_disp)
+        return inflight
+
+    def collect_tasks(self, tasks, inflight):
+        """Block on dispatched batches; returns per-task
+        (dist, n_cols, q_aln, t_aln) (ASCII bytes; n_cols == 0 when no
+        alignment)."""
+        import time as _time
+        from ..ops.align_tb import moves_to_alignment, unpack_moves
+        results = [None] * len(tasks)
+        t_coll = _time.time()
+        t_host = 0.0
+        for chunk, (bi, bj, bd, mvp) in inflight:
             bi = np.asarray(bi)
             bj = np.asarray(bj)
             bd = np.asarray(bd)
-            mv = np.asarray(mv)
+            mvp = np.asarray(mvp)
+            _t0 = _time.time()
+            mv = unpack_moves(mvp)
             for k, idx in enumerate(chunk):
                 qc, tc = tasks[idx]
                 qa, ta = moves_to_alignment(qc, tc, mv[:, k])
                 ncols = len(qa)
                 results[idx] = (int(bd[k]), ncols, qa, ta)
+            t_host += _time.time() - _t0
+        LOG.info("cns.device: collected %d aln tasks in %.1fs "
+                 "(host reconstruct %.1fs)", len(tasks),
+                 _time.time() - t_coll, t_host)
         return results
 
+    def align_tasks(self, tasks):
+        """tasks: [(q_codes, t_codes)] -> [(dist, n_cols, q_aln, t_aln)]
+        (q_aln/t_aln ASCII bytes; n_cols == 0 when no alignment)."""
+        return self.collect_tasks(tasks, self.dispatch_tasks(tasks))
+
     # -- per-chunk consensus --------------------------------------------------
-    def consensus_chunk(self, chunk, cfg):
-        """chunk: [(seed_id, seed_seq, sups)] from gate_group_ranged.
-        Returns [(seed_id, consensus_str)]."""
-        max_diff = 1.0 - cfg.min_idt
+    def dispatch_chunk(self, chunk, cfg):
+        """Build and queue one chunk's alignment tasks (non-blocking).
+
+        chunk: [(seed_id, seed_seq, sups)] from gate_group_ranged.
+        Returns an opaque state for finish_chunk."""
         tasks = []
         task_of = []    # (group_idx, sup_idx, s1, s2)
         group_alns = [[] for _ in chunk]  # per group: (order, aln tuple)
@@ -221,11 +250,21 @@ class DeviceCns:
                 tasks.append((seq_to_codes(sup)[s1:e1],
                               seed_codes[s2:e2]))
                 task_of.append((gi, si, s1, s2))
-        res = self.align_tasks(tasks)
+        inflight = self.dispatch_tasks(tasks)
+        return (chunk, cfg, tasks, task_of, group_alns, inflight)
+
+    def finish_chunk(self, state):
+        """Collect one dispatched chunk and run the host MSA/DP.
+        Returns [(seed_id, consensus_str)]."""
+        chunk, cfg, tasks, task_of, group_alns, inflight = state
+        max_diff = 1.0 - cfg.min_idt
+        res = self.collect_tasks(tasks, inflight)
         for (gi, si, s1, s2), r in zip(task_of, res):
             dist, ncols, qa, ta = r
             if ncols > 500 and (float(dist) / float(ncols)) < max_diff:
                 group_alns[gi].append((si, (qa, ta, s1, s2)))
+        import time as _time
+        t_msa = _time.time()
         out = []
         for gi, (seed_id, seed_seq, sups) in enumerate(chunk):
             alns = [a for _, a in sorted(group_alns[gi], key=lambda x: x[0])]
@@ -234,7 +273,14 @@ class DeviceCns:
                 continue
             out.append((seed_id, self._msa(len(seed_seq), alns,
                                            cfg.min_cov)))
+        LOG.info("cns.device: chunk of %d groups: msa %.1fs",
+                 len(chunk), _time.time() - t_msa)
         return out
+
+    def consensus_chunk(self, chunk, cfg):
+        """chunk: [(seed_id, seed_seq, sups)] from gate_group_ranged.
+        Returns [(seed_id, consensus_str)]."""
+        return self.finish_chunk(self.dispatch_chunk(chunk, cfg))
 
     def _msa(self, t_len, alns, min_cov):
         if native.available():
@@ -267,15 +313,26 @@ def run_consensus_device(groups, cfg, out, dev=None):
     emitted = 0
     chunk = []
     n_tasks = 0
+    pending = None  # one dispatched chunk kept in flight (software pipeline)
+
+    def emit(state):
+        nonlocal emitted
+        for seed_id, cns in dev.finish_chunk(state):
+            emitted += runner.format_output(cns, seed_id, cfg, out)
 
     def flush():
-        nonlocal emitted, chunk, n_tasks
+        nonlocal chunk, n_tasks, pending
         if not chunk:
             return
-        for seed_id, cns in dev.consensus_chunk(chunk, cfg):
-            emitted += runner.format_output(cns, seed_id, cfg, out)
+        # dispatch chunk N+1 BEFORE finishing chunk N: the device aligns
+        # the new batches while the host runs the previous chunk's
+        # traceback reconstruction + MSA/DP
+        state = dev.dispatch_chunk(chunk, cfg)
         chunk = []
         n_tasks = 0
+        if pending is not None:
+            emit(pending)
+        pending = state
 
     for seed_id, items in groups:
         gated = gate_group_ranged(seed_id, items, cfg)
@@ -287,4 +344,6 @@ def run_consensus_device(groups, cfg, out, dev=None):
         if n_tasks >= dev.chunk_tasks:
             flush()
     flush()
+    if pending is not None:
+        emit(pending)
     return emitted

@@ -20,7 +20,10 @@ called from falcon.c:626-628).  Device formulation:
             end->start order; 3 = inactive step.
 
 Only the tiny (ends, dist, move-stream) tensors leave the device; the
-O(S*W) trace never does.  Host post-processing reconstructs gapped
+O(S*W) trace never does.  The move stream is packed 4-per-byte on device
+(pack_moves) before the host transfer -- on a networked chip the transfer
+is comparable to the DP itself, so this is a direct 4x on collect time.
+Host post-processing unpacks (unpack_moves) and reconstructs gapped
 alignment strings with cumsum indexing (see moves_to_alignment).
 """
 import functools
@@ -30,6 +33,29 @@ import jax.numpy as jnp
 import numpy as np
 
 INF = np.int32(1 << 20)
+
+
+def pack_moves(moves):
+    """[S, B] int8 move codes (0..3) -> [ceil(S/4), B] uint8, four moves
+    per byte, earliest stream index in the low bits (device-side jnp)."""
+    S, B = moves.shape
+    pad = (-S) % 4
+    if pad:
+        moves = jnp.pad(moves, ((0, pad), (0, 0)), constant_values=3)
+    m = moves.astype(jnp.uint8).reshape(-1, 4, B)
+    return m[:, 0] | (m[:, 1] << 2) | (m[:, 2] << 4) | (m[:, 3] << 6)
+
+
+def unpack_moves(packed):
+    """Host (numpy) inverse of pack_moves: [P, B] uint8 -> [4P, B] int8.
+    Stream padding unpacks as 3 (inactive), which every consumer skips."""
+    P, B = packed.shape
+    m = np.empty((P * 4, B), np.int8)
+    m[0::4] = packed & 3
+    m[1::4] = (packed >> 2) & 3
+    m[2::4] = (packed >> 4) & 3
+    m[3::4] = (packed >> 6) & 3
+    return m
 
 
 @functools.partial(jax.jit, static_argnames=("W", "end_bonus"))
@@ -42,8 +68,8 @@ def align_tb_batch(q, qlen, t, tlen, W=256, end_bonus=3):
       best_i/j: the boundary cell (i == qlen or j == tlen) maximizing
                 (i+j) - end_bonus*d; (0, 0) if none reachable in band
       best_d:   its edit distance
-      moves:    [S, B] int8 move stream in END->START order
-                (0=diag, 1=up consumes t[j-1] / gap in q,
+      moves:    [ceil(S/4), B] uint8 PACKED move stream (pack_moves) in
+                END->START order (0=diag, 1=up consumes t[j-1] / gap in q,
                  2=left consumes q[i-1] / gap in t, 3=inactive step)
     """
     B, Lq = q.shape
@@ -153,7 +179,7 @@ def align_tb_batch(q, qlen, t, tlen, W=256, end_bonus=3):
     init_b = (bi, bj, (bi == 0) & (bj == 0))
     ss_down = jnp.arange(S_max, 0, -1, dtype=jnp.int32)
     _, moves = jax.lax.scan(bwd_body, init_b, ss_down)
-    return bi, bj, bd, moves
+    return bi, bj, bd, pack_moves(moves)
 
 
 def moves_to_alignment(q_codes, t_codes, move_stream):

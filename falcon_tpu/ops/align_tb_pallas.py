@@ -268,6 +268,8 @@ def align_tb_batch_pallas(q, qlen, t, tlen, W=256, end_bonus=3,
     )(planes, bi[:, 0:1], bj[:, 0:1])
 
     # [n_sb, 2*SB, B] with s-1 = 2*SB*sb + slot ascending -> [S, B]
-    # descending (end->start), matching the XLA fallback's output order
+    # descending (end->start), packed 4-per-byte for the host transfer,
+    # matching the XLA fallback's output contract
+    from .align_tb import pack_moves
     moves_sb = moves.reshape(n_sb * 2 * SB, B)[::-1]
-    return bi[:, 0], bj[:, 0], bd[:, 0], moves_sb
+    return bi[:, 0], bj[:, 0], bd[:, 0], pack_moves(moves_sb)

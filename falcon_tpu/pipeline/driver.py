@@ -171,6 +171,7 @@ class Pipeline:
             live = (g for g in groups() if g is not None)
             if use_dev_cns:
                 from ..cns.device import run_consensus_device
+                LOG.info("phase0: device consensus engine (cns.device)")
                 emitted = run_consensus_device(live, ccfg, out)
             else:
                 emitted = cns_runner.run_consensus(

@@ -34,6 +34,8 @@ setup(
             "falcon_tpu.mains.ctg_link_analysis:main",
             "fc_report_pre_assembly = "
             "falcon_tpu.mains.report_pre_assembly:main",
+            "falcon-task = falcon_tpu.mains.tasks:main",
+            "fc_hgap_adapt = falcon_tpu.mains.hgap_adapt:main",
         ],
     },
 )

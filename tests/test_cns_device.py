@@ -38,7 +38,8 @@ def _al(q, t, band=1000):
 
 
 def test_align_tb_roundtrip():
-    from falcon_tpu.ops.align_tb import align_tb_batch, moves_to_alignment
+    from falcon_tpu.ops.align_tb import (align_tb_batch, moves_to_alignment,
+                                         unpack_moves)
     import jax.numpy as jnp
     rng = np.random.RandomState(11)
     t = rng.randint(0, 4, 900).astype(np.uint8)
@@ -51,9 +52,10 @@ def test_align_tb_roundtrip():
     ql = np.zeros(B, np.int32)
     tl = np.zeros(B, np.int32)
     ql[0], tl[0] = len(q), len(t)
-    bi, bj, bd, mv = [np.asarray(x) for x in align_tb_batch(
+    bi, bj, bd, mvp = [np.asarray(x) for x in align_tb_batch(
         jnp.asarray(qb), jnp.asarray(ql), jnp.asarray(tb),
         jnp.asarray(tl), W=128)]
+    mv = unpack_moves(mvp)
     qa, ta = moves_to_alignment(q, t, mv[:, 0])
     assert len(qa) == len(ta) > 0
     # column counts must reproduce the endpoint and the distance

@@ -10,13 +10,14 @@ import pytest
 from falcon_tpu.mains import (calc_cutoff, collect_contig_gfa,
                               collect_pread_gfa, consensus, dedup_a_tigs,
                               fetch_reads, gen_gfa_v1, gen_gfa_v2,
-                              graph_to_contig, graph_to_utgs, ovlp_filter,
-                              ovlp_stats, ovlp_to_graph, track_reads)
+                              graph_to_contig, graph_to_utgs, hgap_adapt,
+                              ovlp_filter, ovlp_stats, ovlp_to_graph,
+                              track_reads)
 
 ALL_MAINS = [calc_cutoff, collect_contig_gfa, collect_pread_gfa, consensus,
              dedup_a_tigs, fetch_reads, gen_gfa_v1, gen_gfa_v2,
-             graph_to_contig, graph_to_utgs, ovlp_filter, ovlp_stats,
-             ovlp_to_graph, track_reads]
+             graph_to_contig, graph_to_utgs, hgap_adapt, ovlp_filter,
+             ovlp_stats, ovlp_to_graph, track_reads]
 
 
 @pytest.mark.parametrize("mod", ALL_MAINS,
@@ -80,3 +81,52 @@ def test_consensus_cli_stream(monkeypatch, capsys):
     assert out.startswith(">prolog/0000000000/")
     seq = "".join(out.splitlines()[1:])
     assert len(seq) > 2000
+
+
+def test_make_fofn_abs(tmp_path):
+    from falcon_tpu.mains import tasks
+    sub = tmp_path / "data"
+    sub.mkdir()
+    (sub / "a.fa").write_text(">x\nACGT\n")
+    fofn = sub / "in.fofn"
+    fofn.write_text("a.fa\n/abs/b.fa\n\n")
+    out = tmp_path / "out.fofn"
+    rc = tasks.main(["prog", "make-fofn-abs", str(fofn), str(out)])
+    assert rc == 0
+    lines = out.read_text().splitlines()
+    assert lines == [str(sub / "a.fa"), "/abs/b.fa"]
+    # same in/out path rejected
+    with pytest.raises(ValueError):
+        tasks.make_fofn_abs(str(fofn), str(fofn))
+    # no task -> usage
+    assert tasks.main(["prog"]) == 2
+
+
+def test_hgap_adapt(tmp_path):
+    # fake an external fc_run tree with sharded consensus outputs and
+    # stage-1 products
+    job = tmp_path / "ext_run"
+    (job / "0-rawreads" / "preads").mkdir(parents=True)
+    (job / "0-rawreads" / "preads" / "out.00001.fasta").write_text(
+        ">p1\nACGT\n")
+    (job / "0-rawreads" / "preads" / "out.00002.fasta").write_text(
+        ">p2\nTTTT\n")
+    (job / "0-rawreads" / "length_cutoff").write_text("1200\n")
+    (job / "1-preads_ovl").mkdir()
+    (job / "1-preads_ovl" / "preads4falcon.fasta").write_text(">p1\nACGT\n")
+    (job / "2-asm-falcon").mkdir()
+    (job / "2-asm-falcon" / "preads.ovl").write_text("---\n")
+    out = tmp_path / "run"
+    rc = hgap_adapt.main(["prog", "--job-output", str(job),
+                          "--out", str(out)])
+    assert rc == 0
+    assert (out / "0-rawreads" / "preads.fasta").read_text() == \
+        ">p1\nACGT\n>p2\nTTTT\n"
+    assert (out / "0-rawreads" / "length_cutoff").read_text() == "1200\n"
+    assert (out / "2-asm-falcon" / "preads4falcon.fasta").exists()
+    assert (out / "1-preads_ovl" / "preads.ovl").exists()
+    # empty dir -> nothing adoptable
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert hgap_adapt.main(["prog", "--job-output", str(empty),
+                            "--out", str(tmp_path / "run2")]) == 1
