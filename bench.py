@@ -52,7 +52,8 @@ def make_pairs(B, L, err, seed=0):
 def bench_device(q, qlen, t, tlen, W=256, iters=3):
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ftpu_jax_cache")
+    from falcon_tpu.utils.jaxinit import setup_jax
+    setup_jax()
 
     # The XLA kernel's executables hit the persistent compile cache
     # across processes on this runtime; the pallas kernel (~3x faster at

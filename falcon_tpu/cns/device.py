@@ -120,6 +120,8 @@ class DeviceCns:
 
     def __init__(self, W=256, max_cells=1 << 19, chunk_tasks=4096,
                  use_pallas=None, moves_budget=1 << 30):
+        from ..utils.jaxinit import setup_jax
+        setup_jax()
         self.W = W
         self.max_cells = max_cells      # B*L budget per device batch
         self.chunk_tasks = chunk_tasks  # alignment tasks per chunk
@@ -195,15 +197,16 @@ class DeviceCns:
         (dist, n_cols, q_aln, t_aln) (ASCII bytes; n_cols == 0 when no
         alignment)."""
         import time as _time
+        import jax
         from ..ops.align_tb import moves_to_alignment, unpack_moves
         results = [None] * len(tasks)
         t_coll = _time.time()
         t_host = 0.0
-        for chunk, (bi, bj, bd, mvp) in inflight:
-            bi = np.asarray(bi)
-            bj = np.asarray(bj)
-            bd = np.asarray(bd)
-            mvp = np.asarray(mvp)
+        # ONE batched device_get for every in-flight array: sequential
+        # np.asarray costs a ~25ms tunnel round-trip each on a networked
+        # chip (4 outputs x dozens of batches = seconds of pure RTT)
+        fetched = jax.device_get([outs for _, outs in inflight])
+        for (chunk, _), (bi, bj, bd, mvp) in zip(inflight, fetched):
             _t0 = _time.time()
             mv = unpack_moves(mvp)
             for k, idx in enumerate(chunk):
@@ -264,15 +267,20 @@ class DeviceCns:
             if ncols > 500 and (float(dist) / float(ncols)) < max_diff:
                 group_alns[gi].append((si, (qa, ta, s1, s2)))
         import time as _time
+        from concurrent.futures import ThreadPoolExecutor
         t_msa = _time.time()
-        out = []
-        for gi, (seed_id, seed_seq, sups) in enumerate(chunk):
+
+        def one(gi):
+            seed_id, seed_seq, sups = chunk[gi]
             alns = [a for _, a in sorted(group_alns[gi], key=lambda x: x[0])]
             if not alns:
-                out.append((seed_id, ""))
-                continue
-            out.append((seed_id, self._msa(len(seed_seq), alns,
-                                           cfg.min_cov)))
+                return (seed_id, "")
+            return (seed_id, self._msa(len(seed_seq), alns, cfg.min_cov))
+
+        # the native MSA releases the GIL; two workers keep both host
+        # cores busy while the device aligns the next chunk
+        with ThreadPoolExecutor(2) as tpe:
+            out = list(tpe.map(one, range(len(chunk))))
         LOG.info("cns.device: chunk of %d groups: msa %.1fs",
                  len(chunk), _time.time() - t_msa)
         return out

@@ -595,48 +595,20 @@ int ftpu_align(const char* q, int q_len, const char* t, int t_len,
 // boundaries or containing non-ACGT codes are skipped; over-represented
 // target k-mers (count > max_freq) are masked (the daligner -t analog).
 
-long ftpu_seed_hits_impl(const uint8_t* q_codes, const int64_t* q_offsets,
-                         long n_q, const uint8_t* t_codes,
-                         const int64_t* t_offsets, long n_t, int K,
-                         int stride, int max_freq, int64_t** q_pos_out,
-                         int64_t** t_pos_out) {
-  const int SHIFT = 34;  // packed = key << SHIFT | pos
-  const uint64_t POS_MASK = (1ULL << SHIFT) - 1;
+static void pack_kmers(const uint8_t* codes, const int64_t* offsets,
+                       long n_reads, int K, int stride,
+                       vector<uint64_t>& out) {
+  // packed = key << SHIFT | flat_pos, per read, skipping non-ACGT
+  const int SHIFT = 34;
   const uint32_t kmask = (uint32_t)((1ULL << (2 * K)) - 1);
-
-  // target table: packed (key, pos), sorted
-  vector<uint64_t> table;
-  table.reserve((size_t)t_offsets[n_t]);
-  for (long r = 0; r < n_t; ++r) {
-    const int64_t beg = t_offsets[r], end = t_offsets[r + 1];
+  out.clear();
+  out.reserve((size_t)(offsets[n_reads] / (stride > 1 ? stride : 1)) + 1);
+  for (long r = 0; r < n_reads; ++r) {
+    const int64_t beg = offsets[r], end = offsets[r + 1];
     uint32_t key = 0;
     int valid = 0;
     for (int64_t i = beg; i < end; ++i) {
-      const uint8_t c = t_codes[i];
-      if (c > 3) {
-        valid = 0;
-        key = 0;
-        continue;
-      }
-      key = ((key << 2) | c) & kmask;
-      ++valid;
-      if (valid >= K) {
-        const int64_t pos = i - K + 1;
-        table.push_back(((uint64_t)key << SHIFT) | (uint64_t)pos);
-      }
-    }
-  }
-  std::sort(table.begin(), table.end());
-
-  vector<int64_t> qhits, thits;
-  qhits.reserve(1 << 20);
-  thits.reserve(1 << 20);
-  for (long r = 0; r < n_q; ++r) {
-    const int64_t beg = q_offsets[r], end = q_offsets[r + 1];
-    uint32_t key = 0;
-    int valid = 0;
-    for (int64_t i = beg; i < end; ++i) {
-      const uint8_t c = q_codes[i];
+      const uint8_t c = codes[i];
       if (c > 3) {
         valid = 0;
         key = 0;
@@ -646,16 +618,67 @@ long ftpu_seed_hits_impl(const uint8_t* q_codes, const int64_t* q_offsets,
       if (++valid < K) continue;
       const int64_t pos = i - K + 1;
       if (stride > 1 && ((pos - beg) % stride) != 0) continue;
-      const uint64_t lo = (uint64_t)key << SHIFT;
-      auto it = std::lower_bound(table.begin(), table.end(), lo);
-      auto it_end = std::upper_bound(it, table.end(), lo | POS_MASK);
-      const long cnt = (long)(it_end - it);
-      if (cnt == 0 || cnt > max_freq) continue;
-      for (; it != it_end; ++it) {
-        qhits.push_back(pos);
-        thits.push_back((int64_t)(*it & POS_MASK));
+      out.push_back(((uint64_t)key << SHIFT) | (uint64_t)pos);
+    }
+  }
+}
+
+static inline long read_of(const int64_t* offsets, long n, int64_t pos,
+                           long hint) {
+  // find r with offsets[r] <= pos < offsets[r+1]; hint = last answer
+  // (positions of one run arrive roughly clustered)
+  if (offsets[hint] <= pos && pos < offsets[hint + 1]) return hint;
+  long lo = 0, hi = n;  // invariant: offsets[lo] <= pos < offsets[hi]
+  while (hi - lo > 1) {
+    const long mid = (lo + hi) >> 1;
+    if (offsets[mid] <= pos) lo = mid; else hi = mid;
+  }
+  return lo;
+}
+
+long ftpu_seed_hits_impl(const uint8_t* q_codes, const int64_t* q_offsets,
+                         long n_q, const uint8_t* t_codes,
+                         const int64_t* t_offsets, long n_t, int K,
+                         int stride, int max_freq, int64_t** q_pos_out,
+                         int64_t** t_pos_out) {
+  // Sort both sides and do one linear merge join over equal-key runs.
+  // (A per-query binary search over the target table is ~25 dependent
+  // cache misses per k-mer -- tens of seconds per 200MB block pair; the
+  // merge join is two sequential scans.)
+  const int SHIFT = 34;  // packed = key << SHIFT | pos
+  const uint64_t POS_MASK = (1ULL << SHIFT) - 1;
+
+  vector<uint64_t> table, qarr;
+  pack_kmers(t_codes, t_offsets, n_t, K, 1, table);
+  pack_kmers(q_codes, q_offsets, n_q, K, stride, qarr);
+  std::sort(table.begin(), table.end());
+  std::sort(qarr.begin(), qarr.end());
+
+  vector<int64_t> qhits, thits;
+  qhits.reserve(1 << 20);
+  thits.reserve(1 << 20);
+  const size_t nq = qarr.size(), nt = table.size();
+  size_t i = 0, j = 0;
+  while (i < nq && j < nt) {
+    const uint64_t qk = qarr[i] >> SHIFT;
+    const uint64_t tk = table[j] >> SHIFT;
+    if (qk < tk) { ++i; continue; }
+    if (tk < qk) { ++j; continue; }
+    size_t ie = i + 1;
+    while (ie < nq && (qarr[ie] >> SHIFT) == qk) ++ie;
+    size_t je = j + 1;
+    while (je < nt && (table[je] >> SHIFT) == tk) ++je;
+    if ((long)(je - j) <= max_freq) {
+      for (size_t a = i; a < ie; ++a) {
+        const int64_t qpos = (int64_t)(qarr[a] & POS_MASK);
+        for (size_t b = j; b < je; ++b) {
+          qhits.push_back(qpos);
+          thits.push_back((int64_t)(table[b] & POS_MASK));
+        }
       }
     }
+    i = ie;
+    j = je;
   }
   const long n = (long)qhits.size();
   int64_t* qp = (int64_t*)malloc(sizeof(int64_t) * (n ? n : 1));
@@ -664,6 +687,67 @@ long ftpu_seed_hits_impl(const uint8_t* q_codes, const int64_t* q_offsets,
   memcpy(tp, thits.data(), sizeof(int64_t) * n);
   *q_pos_out = qp;
   *t_pos_out = tp;
+  return n;
+}
+
+// Like ftpu_seed_hits but emits per-hit READ indices and LOCAL positions
+// as int32 (a_idx, qpos, b_idx, tpos), replacing the caller's
+// searchsorted coordinate mapping over tens of millions of hits.
+long ftpu_seed_hits_idx_impl(const uint8_t* q_codes,
+                             const int64_t* q_offsets, long n_q,
+                             const uint8_t* t_codes,
+                             const int64_t* t_offsets, long n_t, int K,
+                             int stride, int max_freq, int32_t** out4) {
+  const int SHIFT = 34;
+  const uint64_t POS_MASK = (1ULL << SHIFT) - 1;
+
+  vector<uint64_t> table, qarr;
+  pack_kmers(t_codes, t_offsets, n_t, K, 1, table);
+  pack_kmers(q_codes, q_offsets, n_q, K, stride, qarr);
+  std::sort(table.begin(), table.end());
+  std::sort(qarr.begin(), qarr.end());
+
+  vector<int32_t> ai, qp, bi, tp;
+  ai.reserve(1 << 20); qp.reserve(1 << 20);
+  bi.reserve(1 << 20); tp.reserve(1 << 20);
+  const size_t nq = qarr.size(), nt = table.size();
+  size_t i = 0, j = 0;
+  long q_hint = 0, t_hint = 0;
+  while (i < nq && j < nt) {
+    const uint64_t qk = qarr[i] >> SHIFT;
+    const uint64_t tk = table[j] >> SHIFT;
+    if (qk < tk) { ++i; continue; }
+    if (tk < qk) { ++j; continue; }
+    size_t ie = i + 1;
+    while (ie < nq && (qarr[ie] >> SHIFT) == qk) ++ie;
+    size_t je = j + 1;
+    while (je < nt && (table[je] >> SHIFT) == tk) ++je;
+    if ((long)(je - j) <= max_freq) {
+      for (size_t a = i; a < ie; ++a) {
+        const int64_t qflat = (int64_t)(qarr[a] & POS_MASK);
+        q_hint = read_of(q_offsets, n_q, qflat, q_hint);
+        const int32_t a_read = (int32_t)q_hint;
+        const int32_t q_loc = (int32_t)(qflat - q_offsets[q_hint]);
+        for (size_t b = j; b < je; ++b) {
+          const int64_t tflat = (int64_t)(table[b] & POS_MASK);
+          t_hint = read_of(t_offsets, n_t, tflat, t_hint);
+          ai.push_back(a_read);
+          qp.push_back(q_loc);
+          bi.push_back((int32_t)t_hint);
+          tp.push_back((int32_t)(tflat - t_offsets[t_hint]));
+        }
+      }
+    }
+    i = ie;
+    j = je;
+  }
+  const long n = (long)ai.size();
+  const size_t sz = sizeof(int32_t) * (n ? n : 1);
+  for (int c = 0; c < 4; ++c) out4[c] = (int32_t*)malloc(sz);
+  memcpy(out4[0], ai.data(), sizeof(int32_t) * n);
+  memcpy(out4[1], qp.data(), sizeof(int32_t) * n);
+  memcpy(out4[2], bi.data(), sizeof(int32_t) * n);
+  memcpy(out4[3], tp.data(), sizeof(int32_t) * n);
   return n;
 }
 
@@ -679,6 +763,17 @@ long ftpu_seed_hits(const uint8_t* q_codes, const int64_t* q_offsets,
                              t_pos_out);
 }
 
+long ftpu_seed_hits_idx(const uint8_t* q_codes, const int64_t* q_offsets,
+                        long n_q, const uint8_t* t_codes,
+                        const int64_t* t_offsets, long n_t, int K,
+                        int stride, int max_freq, int32_t** out4) {
+  return ftpu_seed_hits_idx_impl(q_codes, q_offsets, n_q, t_codes,
+                                 t_offsets, n_t, K, stride, max_freq,
+                                 out4);
+}
+
 void ftpu_free_i64(int64_t* p) { free(p); }
+
+void ftpu_free_i32(int32_t* p) { free(p); }
 
 }  // extern "C"

@@ -139,6 +139,8 @@ class DeviceExtender:
     """
 
     def __init__(self, W=512, end_bonus=3, max_batch=128, use_pallas=None):
+        from ..utils.jaxinit import setup_jax
+        setup_jax()
         self.W = W
         self.end_bonus = end_bonus
         self.max_batch = max_batch
@@ -239,10 +241,11 @@ class DeviceExtender:
                 inflight.append((chunk, self._extend(q, qlen, t, tlen)))
                 n_batches += 1
         _t_coll = _time.time()
-        for chunk, (bi, bj, bd) in inflight:
-            bi = np.asarray(bi)
-            bj = np.asarray(bj)
-            bd = np.asarray(bd)
+        # one batched device_get: per-array np.asarray costs a tunnel
+        # round-trip (~25ms) each on a networked chip
+        import jax
+        fetched = jax.device_get([outs for _, outs in inflight])
+        for (chunk, _), (bi, bj, bd) in zip(inflight, fetched):
             for k, idx in enumerate(chunk):
                 results[idx] = (int(bi[k]), int(bj[k]), int(bd[k]))
         _log.info("extender: %d tasks, %d buckets, %d batches; "

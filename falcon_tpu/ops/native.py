@@ -61,18 +61,33 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p)]
     lib.ftpu_seed_hits.restype = ctypes.c_long
     lib.ftpu_free_i64.argtypes = [ctypes.c_void_p]
+    lib.ftpu_seed_hits_idx.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p)]
+    lib.ftpu_seed_hits_idx.restype = ctypes.c_long
+    lib.ftpu_free_i32.argtypes = [ctypes.c_void_p]
     return lib
+
+
+import threading as _threading
+
+_lib_lock = _threading.Lock()
 
 
 def get_lib():
     global _lib, _tried
     if _lib is None and not _tried:
-        _tried = True
-        try:
-            _lib = _build_and_load()
-        except Exception as e:
-            LOG.warning("native kernels unavailable (%s); "
-                        "falling back to python", e)
+        # thread-safe lazy load (callers may hit this from worker threads)
+        with _lib_lock:
+            if _lib is None and not _tried:
+                try:
+                    _lib = _build_and_load()
+                except Exception as e:
+                    LOG.warning("native kernels unavailable (%s); "
+                                "falling back to python", e)
+                _tried = True
     return _lib
 
 
@@ -142,6 +157,32 @@ def seed_hits(q_codes, q_offsets, t_codes, t_offsets, K, stride, max_freq):
         lib.ftpu_free_i64(qp)
         lib.ftpu_free_i64(tp)
     return qhits, thits
+
+
+def seed_hits_idx(q_codes, q_offsets, t_codes, t_offsets, K, stride,
+                  max_freq):
+    """Block seed join with coordinate mapping baked in: returns int32
+    (a_idx, qpos, b_idx, tpos) per hit (read indices + read-local
+    positions)."""
+    import numpy as np
+    lib = get_lib()
+    q_codes = np.ascontiguousarray(q_codes, dtype=np.uint8)
+    t_codes = np.ascontiguousarray(t_codes, dtype=np.uint8)
+    q_offsets = np.ascontiguousarray(q_offsets, dtype=np.int64)
+    t_offsets = np.ascontiguousarray(t_offsets, dtype=np.int64)
+    out4 = (ctypes.c_void_p * 4)()
+    n = lib.ftpu_seed_hits_idx(
+        q_codes.ctypes.data, q_offsets.ctypes.data, len(q_offsets) - 1,
+        t_codes.ctypes.data, t_offsets.ctypes.data, len(t_offsets) - 1,
+        K, stride, max_freq, out4)
+    try:
+        arrs = [np.ctypeslib.as_array(
+            ctypes.cast(out4[c], ctypes.POINTER(ctypes.c_int32)),
+            shape=(max(n, 1),))[:n].copy() for c in range(4)]
+    finally:
+        for c in range(4):
+            lib.ftpu_free_i32(out4[c])
+    return tuple(arrs)
 
 
 def cns_from_alns(t_len, alns, min_cov):

@@ -174,32 +174,38 @@ def _chain_candidates(qpos, tpos, a_read, b_read, strand, params):
     """Group hits by (a, b, strand); diagonal-window chain each group.
 
     Returns list of (a_idx, b_idx, strand, q_anchor, t_anchor, n_seeds)
-    with anchors at the start of the densest diagonal band."""
+    with anchors at the min-qpos hit of the densest diagonal band
+    (ties: min tpos -- deterministic regardless of hit emission order).
+    One composite int64 sort key instead of a 5-key lexsort: this runs
+    over tens of millions of hits per block pair."""
     if len(qpos) == 0:
         return []
-    diag = qpos - tpos
-    binned = diag // params.bin_size
-    # composite sort: (a, b, strand, bin, qpos)
-    order = np.lexsort((qpos, binned, strand, b_read, a_read))
-    a = a_read[order]
-    b = b_read[order]
-    s = strand[order]
-    bn = binned[order]
-    qp = qpos[order]
-    tp = tpos[order]
+    qpos = qpos.astype(np.int64, copy=False)
+    tpos = tpos.astype(np.int64, copy=False)
+    binned = (qpos - tpos) // params.bin_size
+    bin_lo = binned.min()
+    nbins = int(binned.max() - bin_lo) + 1
+    nb = int(b_read.max()) + 1
+    # key = ((a * nb + b) * 2 + strand) * nbins + (bin - bin_lo)
+    pairk = (a_read.astype(np.int64) * nb + b_read.astype(np.int64)) * 2 \
+        + strand.astype(np.int64)
+    key = pairk * nbins + (binned - bin_lo)
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    # packed (qpos, tpos) for run-min anchor selection
+    packed = (qpos << 21 | tpos)[order]  # positions < 2^21
 
-    # fully vectorized per-pair densest-diagonal-window selection:
-    # (pair, bin) runs -> counts; combine adjacent bins; best run per pair
-    n = len(a)
-    pair_change = np.ones(n, dtype=bool)
-    pair_change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | \
-        (s[1:] != s[:-1])
-    run_change = pair_change.copy()
-    run_change[1:] |= bn[1:] != bn[:-1]
+    n = len(key)
+    run_change = np.ones(n, dtype=bool)
+    run_change[1:] = key[1:] != key[:-1]
     run_starts = np.nonzero(run_change)[0]           # per (pair, bin) run
-    run_counts = np.diff(np.append(run_starts, n))
-    run_pair = np.cumsum(pair_change)[run_starts] - 1  # pair index per run
-    run_bin = bn[run_starts]
+    run_counts = np.diff(np.append(run_starts, n)).astype(np.int64)
+    run_key = key[run_starts]
+    run_pairk = run_key // nbins
+    pair_change = np.ones(len(run_starts), dtype=bool)
+    pair_change[1:] = run_pairk[1:] != run_pairk[:-1]
+    run_pair = np.cumsum(pair_change) - 1            # pair ordinal per run
+    run_min = np.minimum.reduceat(packed, run_starts)
 
     # combine each run with its next run when it is the adjacent bin of
     # the same pair (drift tolerance across the bin boundary)
@@ -207,31 +213,38 @@ def _chain_candidates(qpos, tpos, a_read, b_read, strand, params):
     comb = run_counts.copy()
     has_next = np.zeros(nr, dtype=bool)
     if nr > 1:
-        adj = (run_pair[1:] == run_pair[:-1]) & \
-            (run_bin[1:] == run_bin[:-1] + 1)
+        adj = (run_pairk[1:] == run_pairk[:-1]) & \
+            (run_key[1:] == run_key[:-1] + 1)
         comb[:-1] += np.where(adj, run_counts[1:], 0)
         has_next[:-1] = adj
 
-    # best run per pair: order by (pair, -comb, run index); first wins
-    order = np.lexsort((np.arange(nr), -comb, run_pair))
-    first_of_pair = np.ones(len(order), dtype=bool)
-    rp_sorted = run_pair[order]
+    # best run per pair: (pair, -comb, run index); first wins
+    order2 = np.lexsort((np.arange(nr), -comb, run_pair))
+    first_of_pair = np.ones(nr, dtype=bool)
+    rp_sorted = run_pair[order2]
     first_of_pair[1:] = rp_sorted[1:] != rp_sorted[:-1]
-    best_runs = order[first_of_pair]
-    best_runs = best_runs[comb[best_runs] >= params.min_hits]
+    best = order2[first_of_pair]
+    best = best[comb[best] >= params.min_hits]
+    if len(best) == 0:
+        return []
 
-    # anchor: hits within a run are qpos-sorted, so the run's first hit is
-    # its min-qpos hit; with an adjacent run, take the smaller of the two
-    out = []
-    for r in best_runs:
-        k = run_starts[r]
-        if has_next[r]:
-            k2 = run_starts[r + 1]
-            if qp[k2] < qp[k]:
-                k = k2
-        out.append((int(a[k]), int(b[k]), int(s[k]),
-                    int(qp[k]), int(tp[k]), int(comb[r])))
-    return out
+    # anchor: min-qpos hit of the winning run, or of its adjacent run
+    # when that one starts earlier on the query (reference
+    # find_best_aln_range picks the window's first hit the same way)
+    anchor = run_min[best]
+    nxt = np.minimum(best + 1, nr - 1)
+    take_next = has_next[best] & ((run_min[nxt] >> 21) < (anchor >> 21))
+    anchor = np.where(take_next, run_min[nxt], anchor)
+
+    a_sel = (run_pairk[best] >> 1)
+    s_sel = (run_pairk[best] & 1).astype(np.int64)
+    b_sel = a_sel % nb
+    a_sel = a_sel // nb
+    q_sel = anchor >> 21
+    t_sel = anchor & ((1 << 21) - 1)
+    c_sel = comb[best]
+    return list(zip(a_sel.tolist(), b_sel.tolist(), s_sel.tolist(),
+                    q_sel.tolist(), t_sel.tolist(), c_sel.tolist()))
 
 
 def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
@@ -264,16 +277,25 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
         a_flat[a_offsets[i]:a_offsets[i] + len(c)] = c
 
     if use_native:
-        qf0, tf0 = native.seed_hits(a_flat, a_offsets, index.fwd,
-                                    index.offsets, K, params.stride,
-                                    params.max_kmer_freq)
-        qf1, tf1 = native.seed_hits(a_flat, a_offsets, index.rev,
-                                    index.offsets, K, params.stride,
-                                    params.max_kmer_freq)
-        qflat = np.concatenate([qf0, qf1])
-        tflat = np.concatenate([tf0, tf1])
-        strand = np.concatenate([np.zeros(len(qf0), np.int64),
-                                 np.ones(len(qf1), np.int64)])
+        # the two strand joins run in parallel threads (the C++ call
+        # releases the GIL; the sort+merge is single-threaded inside);
+        # read indices + local positions come back directly (int32)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(2) as tpe:
+            f0 = tpe.submit(native.seed_hits_idx, a_flat, a_offsets,
+                            index.fwd, index.offsets, K, params.stride,
+                            params.max_kmer_freq)
+            f1 = tpe.submit(native.seed_hits_idx, a_flat, a_offsets,
+                            index.rev, index.offsets, K, params.stride,
+                            params.max_kmer_freq)
+            ai0, qp0, bi0, tp0 = f0.result()
+            ai1, qp1, bi1, tp1 = f1.result()
+        a_idx = np.concatenate([ai0, ai1])
+        qpos = np.concatenate([qp0, qp1])
+        b_idx = np.concatenate([bi0, bi1])
+        tpos = np.concatenate([tp0, tp1])
+        strand = np.concatenate([np.zeros(len(ai0), np.int8),
+                                 np.ones(len(ai1), np.int8)])
     else:
         keys, ok = _kmer_keys_flat(a_flat, K)
         pos = np.arange(len(keys), dtype=np.int64)
@@ -283,13 +305,14 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
             ok &= ((pos - a_offsets[read_of]) % params.stride) == 0
         qflat, tflat, strand = index.match(keys, ok)
         strand = strand.astype(np.int64)
-    if len(qflat) == 0:
+        if len(qflat) == 0:
+            return []
+        a_idx = np.searchsorted(a_offsets, qflat, side="right") - 1
+        qpos = qflat - a_offsets[a_idx]
+        b_idx = np.searchsorted(index.offsets, tflat, side="right") - 1
+        tpos = tflat - index.offsets[b_idx]
+    if len(a_idx) == 0:
         return []
-    a_idx = np.searchsorted(a_offsets, qflat, side="right") - 1
-    qpos = qflat - a_offsets[a_idx]
-
-    b_idx = np.searchsorted(index.offsets, tflat, side="right") - 1
-    tpos = tflat - index.offsets[b_idx]
 
     # drop self-pairs / duplicate unordered pairs within one block
     if same_block:

@@ -65,13 +65,8 @@ class Pipeline:
         if self.p.use_device:
             try:
                 import jax
-                cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                       "/tmp/ftpu_jax_cache")
-                os.makedirs(cache, exist_ok=True)
-                try:
-                    jax.config.update("jax_compilation_cache_dir", cache)
-                except Exception:
-                    pass
+                from ..utils.jaxinit import setup_jax
+                setup_jax()
                 jax.devices()  # force backend init; may raise if the chip
                 # is held by another process
                 # W is the edit-band width of the extension DP (drift

@@ -1,0 +1,90 @@
+"""Overlap-engine internals: packed-key chaining vs a brute-force
+reference, and the native seed join's index-emitting variant."""
+import numpy as np
+import pytest
+
+from falcon_tpu.overlap import engine
+from falcon_tpu.ops import native
+
+
+def brute_chain(qpos, tpos, a, b, s, params):
+    """Straightforward per-pair densest-window selection (the semantics
+    _chain_candidates vectorizes): group by (a, b, strand); count hits
+    per diagonal bin; combine adjacent bins; pick max count (ties:
+    lower bin); anchor = min (qpos, tpos) of the winning window."""
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for k in range(len(qpos)):
+        groups[(int(a[k]), int(b[k]), int(s[k]))].append(
+            (int(qpos[k]), int(tpos[k])))
+    out = []
+    for (ai, bi, si), hits in sorted(groups.items()):
+        bins = defaultdict(list)
+        for (q, t) in hits:
+            bins[(q - t) // params.bin_size].append((q, t))
+        best = None
+        for bn in sorted(bins):
+            comb = bins[bn] + bins.get(bn + 1, [])
+            if best is None or len(comb) > len(best[1]):
+                best = (bn, comb)
+        if best is None or len(best[1]) < params.min_hits:
+            continue
+        q, t = min(best[1])
+        out.append((ai, bi, si, q, t, len(best[1])))
+    return out
+
+
+def test_chain_candidates_vs_brute():
+    rng = np.random.RandomState(3)
+    n = 4000
+    a = rng.randint(0, 12, n)
+    b = rng.randint(0, 12, n)
+    s = rng.randint(0, 2, n)
+    # clustered diagonals plus noise
+    base_diag = (a * 31 + b * 7) % 900
+    qpos = rng.randint(0, 3000, n)
+    tpos = np.maximum(0, qpos - base_diag - rng.randint(-40, 40, n))
+    params = engine.OverlapParams(min_hits=3, bin_size=256)
+    got = engine._chain_candidates(qpos.astype(np.int64),
+                                   tpos.astype(np.int64),
+                                   a.astype(np.int64), b.astype(np.int64),
+                                   s.astype(np.int64), params)
+    want = brute_chain(qpos, tpos, a, b, s, params)
+    assert sorted(got) == sorted(want)
+
+
+def test_chain_candidates_empty():
+    z = np.zeros(0, dtype=np.int64)
+    assert engine._chain_candidates(
+        z, z, z, z, z, engine.OverlapParams()) == []
+
+
+@pytest.mark.skipif(not native.available(), reason="no native lib")
+def test_seed_hits_idx_matches_flat():
+    rng = np.random.RandomState(7)
+    genome = rng.randint(0, 4, 30000).astype(np.uint8)
+
+    def mkblock(n):
+        reads = []
+        for _ in range(n):
+            st = rng.randint(0, 25000)
+            ln = rng.randint(800, 4000)
+            r = genome[st:st + ln].copy()
+            r[rng.rand(len(r)) < 0.02] = 4  # some Ns
+            reads.append(r)
+        lens = np.array([len(r) for r in reads], np.int64)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        return np.concatenate(reads), offs
+
+    qf, qo = mkblock(30)
+    tf, to = mkblock(35)
+    qp, tp = native.seed_hits(qf, qo, tf, to, 12, 3, 16)
+    ai, qpl, bi, tpl = native.seed_hits_idx(qf, qo, tf, to, 12, 3, 16)
+    assert len(qp) == len(ai) > 1000
+    a_idx = np.searchsorted(qo, qp, side="right") - 1
+    b_idx = np.searchsorted(to, tp, side="right") - 1
+    old = sorted(zip(a_idx.tolist(), (qp - qo[a_idx]).tolist(),
+                     b_idx.tolist(), (tp - to[b_idx]).tolist()))
+    new = sorted(zip(ai.tolist(), qpl.tolist(), bi.tolist(), tpl.tolist()))
+    assert old == new
