@@ -206,14 +206,24 @@ class DeviceCns:
         # np.asarray costs a ~25ms tunnel round-trip each on a networked
         # chip (4 outputs x dozens of batches = seconds of pure RTT)
         fetched = jax.device_get([outs for _, outs in inflight])
+        use_native = native.available()
         for (chunk, _), (bi, bj, bd, mvp) in zip(inflight, fetched):
             _t0 = _time.time()
-            mv = unpack_moves(mvp)
-            for k, idx in enumerate(chunk):
-                qc, tc = tasks[idx]
-                qa, ta = moves_to_alignment(qc, tc, mv[:, k])
-                ncols = len(qa)
-                results[idx] = (int(bd[k]), ncols, qa, ta)
+            if use_native:
+                # one C++ pass over the batch's packed move plane
+                alns = native.moves_to_alns(
+                    mvp, np.arange(len(chunk), dtype=np.int32),
+                    [tasks[idx][0] for idx in chunk],
+                    [tasks[idx][1] for idx in chunk])
+                for k, idx in enumerate(chunk):
+                    ncols, qa, ta = alns[k]
+                    results[idx] = (int(bd[k]), ncols, qa, ta)
+            else:
+                mv = unpack_moves(mvp)
+                for k, idx in enumerate(chunk):
+                    qc, tc = tasks[idx]
+                    qa, ta = moves_to_alignment(qc, tc, mv[:, k])
+                    results[idx] = (int(bd[k]), len(qa), qa, ta)
             t_host += _time.time() - _t0
         LOG.info("cns.device: collected %d aln tasks in %.1fs "
                  "(host reconstruct %.1fs)", len(tasks),

@@ -751,7 +751,52 @@ long ftpu_seed_hits_idx_impl(const uint8_t* q_codes,
   return n;
 }
 
+// Batch gapped-alignment reconstruction from the device traceback
+// kernel's packed move planes (ops.align_tb: 4 moves/byte, stream in
+// END->START order, code 3 = inactive).  packed_t is the TRANSPOSED
+// plane [n_lanes_total, P] so each lane's walk is contiguous.  For task
+// i, lane lanes[i] is walked start->end emitting 'ACGT-' strings into
+// caller-allocated qa/ta at out_offs[i]; returns columns per task.
+void ftpu_moves_to_alns(const uint8_t* packed_t, long P, long n_tasks,
+                        const int32_t* lanes, const uint8_t* qcat,
+                        const int64_t* q_offs, const uint8_t* tcat,
+                        const int64_t* t_offs, char* qa, char* ta,
+                        const int64_t* out_offs, int32_t* ncols) {
+  static const char BASE[] = "ACGT";
+  for (long i = 0; i < n_tasks; ++i) {
+    const uint8_t* col = packed_t + (int64_t)lanes[i] * P;
+    const uint8_t* q = qcat + q_offs[i];
+    const uint8_t* t = tcat + t_offs[i];
+    char* qo = qa + out_offs[i];
+    char* to = ta + out_offs[i];
+    long n = 0, qi = -1, tj = -1;
+    for (long p = P - 1; p >= 0; --p) {
+      const uint8_t byte = col[p];
+      if (byte == 0xFF) continue;  // 4x inactive
+      for (int sub = 3; sub >= 0; --sub) {
+        const int mv = (byte >> (2 * sub)) & 3;
+        if (mv == 3) continue;
+        if (mv != 1) ++qi;
+        if (mv != 2) ++tj;
+        qo[n] = (mv == 1) ? '-' : BASE[q[qi] > 3 ? 3 : q[qi]];
+        to[n] = (mv == 2) ? '-' : BASE[t[tj] > 3 ? 3 : t[tj]];
+        ++n;
+      }
+    }
+    ncols[i] = (int32_t)n;
+  }
+}
+
 extern "C" {
+
+void ftpu_moves_to_alns_c(const uint8_t* packed_t, long P, long n_tasks,
+                          const int32_t* lanes, const uint8_t* qcat,
+                          const int64_t* q_offs, const uint8_t* tcat,
+                          const int64_t* t_offs, char* qa, char* ta,
+                          const int64_t* out_offs, int32_t* ncols) {
+  ftpu_moves_to_alns(packed_t, P, n_tasks, lanes, qcat, q_offs, tcat,
+                     t_offs, qa, ta, out_offs, ncols);
+}
 
 long ftpu_seed_hits(const uint8_t* q_codes, const int64_t* q_offsets,
                     long n_q, const uint8_t* t_codes,

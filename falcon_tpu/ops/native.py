@@ -68,6 +68,11 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_void_p)]
     lib.ftpu_seed_hits_idx.restype = ctypes.c_long
     lib.ftpu_free_i32.argtypes = [ctypes.c_void_p]
+    lib.ftpu_moves_to_alns_c.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.ftpu_moves_to_alns_c.restype = None
     return lib
 
 
@@ -217,3 +222,45 @@ def generate_consensus(seqs, min_cov, K, min_idt):
         return ctypes.string_at(p).decode()
     finally:
         lib.ftpu_free(p)
+
+
+def moves_to_alns(packed, lanes, q_list, t_list):
+    """Batch gapped-alignment reconstruction from ONE device batch's
+    packed move plane (ops.align_tb pack_moves layout [P, B]).
+
+    lanes[i]: which batch column task i used; q_list/t_list: that task's
+    base-code arrays.  Returns [(n_cols, q_aln bytes, t_aln bytes)].
+    """
+    import numpy as np
+    lib = get_lib()
+    n = len(lanes)
+    packed_t = np.ascontiguousarray(packed.T)      # [B, P] contiguous
+    P = packed_t.shape[1]
+    lanes = np.ascontiguousarray(lanes, dtype=np.int32)
+    qlens = np.array([len(q) for q in q_list], dtype=np.int64)
+    tlens = np.array([len(t) for t in t_list], dtype=np.int64)
+    q_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(qlens, out=q_offs[1:])
+    t_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(tlens, out=t_offs[1:])
+    qcat = np.concatenate([np.asarray(q, dtype=np.uint8) for q in q_list]) \
+        if n else np.zeros(0, np.uint8)
+    tcat = np.concatenate([np.asarray(t, dtype=np.uint8) for t in t_list]) \
+        if n else np.zeros(0, np.uint8)
+    out_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(qlens + tlens, out=out_offs[1:])
+    qa = np.empty(int(out_offs[-1]), np.uint8)
+    ta = np.empty(int(out_offs[-1]), np.uint8)
+    ncols = np.zeros(n, np.int32)
+    lib.ftpu_moves_to_alns_c(
+        packed_t.ctypes.data, P, n, lanes.ctypes.data,
+        qcat.ctypes.data, q_offs.ctypes.data,
+        tcat.ctypes.data, t_offs.ctypes.data,
+        qa.ctypes.data, ta.ctypes.data, out_offs.ctypes.data,
+        ncols.ctypes.data)
+    out = []
+    for i in range(n):
+        c = int(ncols[i])
+        o = int(out_offs[i])
+        out.append((c, qa[o:o + c].tobytes(), ta[o:o + c].tobytes()))
+    return out

@@ -167,3 +167,32 @@ def test_full_assembly_device(tmp_path):
     a = _al(s[500:500 + L], g[p:p + L + int(0.1 * L)], 1500)
     idt = 1 - a.dist / max(1, a.aln_str_size)
     assert idt > 0.995, "contig identity %.4f too low" % idt
+
+
+def test_native_moves_to_alns_parity():
+    """C++ batch reconstruction == python moves_to_alignment per lane."""
+    if not native.available():
+        pytest.skip("no native lib")
+    from falcon_tpu.ops.align_tb import (pack_moves, unpack_moves,
+                                         moves_to_alignment)
+    import jax.numpy as jnp
+    rng = np.random.RandomState(1)
+    B, S = 6, 64
+    mv = rng.choice([0, 1, 2, 3], size=(S, B),
+                    p=[.4, .2, .2, .2]).astype(np.int8)
+    mv[:10, 3] = 3  # leading inactive run
+    packed = np.asarray(pack_moves(jnp.asarray(mv)))
+    tasks = []
+    for k in range(B):
+        m = mv[:, k][mv[:, k] != 3]
+        nq = int((m != 1).sum())
+        nt = int((m != 2).sum())
+        tasks.append((rng.randint(0, 5, max(nq, 1)).astype(np.uint8),
+                      rng.randint(0, 5, max(nt, 1)).astype(np.uint8)))
+    alns = native.moves_to_alns(packed, np.arange(B, dtype=np.int32),
+                                [q for q, _ in tasks],
+                                [t for _, t in tasks])
+    mvu = unpack_moves(packed)
+    for k in range(B):
+        qa, ta = moves_to_alignment(tasks[k][0], tasks[k][1], mvu[:, k])
+        assert alns[k] == (len(qa), qa, ta)
