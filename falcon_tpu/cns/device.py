@@ -326,42 +326,47 @@ def run_consensus_device(groups, cfg, out, dev=None):
     groups: iterable of (seed_id, [(read_id, seq, rng), ...]) with the
     seed first (rng=None for it).  Writes pread FASTA to `out`; returns
     the number of sequences emitted."""
+    from concurrent.futures import ThreadPoolExecutor
     from . import runner
     dev = dev or DeviceCns()
     emitted = 0
     chunk = []
     n_tasks = 0
-    pending = None  # one dispatched chunk kept in flight (software pipeline)
+    futs = []
 
-    def emit(state):
+    def finish(state):
+        # single finisher thread: emission order == dispatch order, and
+        # `out` is only ever written from here
         nonlocal emitted
         for seed_id, cns in dev.finish_chunk(state):
             emitted += runner.format_output(cns, seed_id, cfg, out)
 
-    def flush():
-        nonlocal chunk, n_tasks, pending
-        if not chunk:
-            return
-        # dispatch chunk N+1 BEFORE finishing chunk N: the device aligns
-        # the new batches while the host runs the previous chunk's
-        # traceback reconstruction + MSA/DP
-        state = dev.dispatch_chunk(chunk, cfg)
-        chunk = []
-        n_tasks = 0
-        if pending is not None:
-            emit(pending)
-        pending = state
+    # Software pipeline, depth 2: the main thread gates groups and
+    # dispatches device batches; the finisher thread blocks on collect
+    # and runs reconstruction + MSA/DP (the C++ calls release the GIL).
+    with ThreadPoolExecutor(1) as finisher:
 
-    for seed_id, items in groups:
-        gated = gate_group_ranged(seed_id, items, cfg)
-        if gated is None:
-            continue
-        seed_seq, sups = gated
-        chunk.append((seed_id, seed_seq, sups))
-        n_tasks += len(sups)
-        if n_tasks >= dev.chunk_tasks:
-            flush()
-    flush()
-    if pending is not None:
-        emit(pending)
+        def flush():
+            nonlocal chunk, n_tasks
+            if not chunk:
+                return
+            state = dev.dispatch_chunk(chunk, cfg)
+            chunk = []
+            n_tasks = 0
+            futs.append(finisher.submit(finish, state))
+            while len(futs) > 2:     # bound in-flight chunks (HBM/host RAM)
+                futs.pop(0).result()
+
+        for seed_id, items in groups:
+            gated = gate_group_ranged(seed_id, items, cfg)
+            if gated is None:
+                continue
+            seed_seq, sups = gated
+            chunk.append((seed_id, seed_seq, sups))
+            n_tasks += len(sups)
+            if n_tasks >= dev.chunk_tasks:
+                flush()
+        flush()
+        for f in futs:
+            f.result()
     return emitted
