@@ -14,7 +14,7 @@ from falcon_tpu.pipeline.driver import Pipeline
 from falcon_tpu.utils import sim
 
 
-def write_cfg(path, genome_size):
+def write_cfg(path, genome_size, block_mb=50):
     with open(path, "w") as f:
         f.write("""[General]
 input_fofn = input.fofn
@@ -23,13 +23,13 @@ genome_size = %d
 seed_coverage = 15
 length_cutoff = -1
 length_cutoff_pr = 1000
-pa_DBsplit_option = -x500 -s50
-ovlp_DBsplit_option = -x500 -s50
+pa_DBsplit_option = -x500 -s%s
+ovlp_DBsplit_option = -x500 -s%s
 pa_HPCdaligner_option = -v -e.70 -l1000
 ovlp_HPCdaligner_option = -v -e.96 -l500
 falcon_sense_option = --output-multi --min-idt 0.70 --min-cov 2 --max-n-read 1800
 overlap_filtering_setting = --max-diff 100 --max-cov 100 --min-cov 1
-""" % genome_size)
+""" % (genome_size, block_mb, block_mb))
 
 
 @pytest.mark.slow
@@ -69,3 +69,30 @@ def test_full_assembly(tmp_path):
     idt = 1 - a.dist / max(1, a.aln_str_size)
     assert a.aln_str_size > 0.9 * L
     assert idt > 0.995, "contig identity %.4f too low" % idt
+
+
+@pytest.mark.slow
+def test_full_assembly_multiblock(tmp_path):
+    """Same acceptance test but with the read DB split into multiple
+    blocks, exercising the block-pair (i, j) scatter the reference runs
+    via HPC.daligner's job triangle (driver._overlap_store)."""
+    os.chdir(tmp_path)
+    G = 60000
+    genome = sim.random_genome(G, seed=17)
+    reads = sim.simulate_reads(genome, coverage=20, mean_len=7000,
+                               min_len=1500, error=0.04, seed=13)
+    fasta.write_fasta("raw_reads.fa", reads, width=80)
+    with open("input.fofn", "w") as f:
+        f.write("raw_reads.fa\n")
+    write_cfg("fc_run.cfg", G, block_mb=0.3)   # ~4 blocks at 20x 60kb
+
+    pipe = Pipeline("fc_run.cfg", str(tmp_path), use_device=False)
+    p_ctg = pipe.run()
+    from falcon_tpu.io import readstore
+    store = readstore.ReadStore.load(
+        os.path.join(str(tmp_path), "0-rawreads", "raw_reads"))
+    assert len(store.blocks) >= 2, "config did not produce multiple blocks"
+    ctgs = list(fasta.read_fasta(p_ctg))
+    assert ctgs, "no contigs produced"
+    longest = max(ctgs, key=lambda c: len(c.sequence))
+    assert len(longest.sequence) > 0.75 * G
