@@ -751,6 +751,177 @@ long ftpu_seed_hits_idx_impl(const uint8_t* q_codes,
   return n;
 }
 
+// LSD radix sort, 11-bit digits.  ~3-4x std::sort on the 10^8-element
+// k-mer tables of a 200MB block pair.
+static void radix_sort_u64(vector<uint64_t>& v, int bits) {
+  const int DIG = 11, NB = 1 << DIG;
+  vector<uint64_t> tmp(v.size());
+  size_t cnt[NB + 1];
+  for (int shift = 0; shift < bits; shift += DIG) {
+    memset(cnt, 0, sizeof(cnt));
+    for (uint64_t x : v) ++cnt[((x >> shift) & (NB - 1)) + 1];
+    for (int b = 0; b < NB; ++b) cnt[b + 1] += cnt[b];
+    for (uint64_t x : v) tmp[cnt[(x >> shift) & (NB - 1)]++] = x;
+    v.swap(tmp);
+  }
+}
+
+struct Kv { uint64_t key, val; };
+
+static void radix_sort_kv(vector<Kv>& v, int bits) {
+  const int DIG = 11, NB = 1 << DIG;
+  vector<Kv> tmp(v.size());
+  size_t cnt[NB + 1];
+  for (int shift = 0; shift < bits; shift += DIG) {
+    memset(cnt, 0, sizeof(cnt));
+    for (const Kv& x : v) ++cnt[((x.key >> shift) & (NB - 1)) + 1];
+    for (int b = 0; b < NB; ++b) cnt[b + 1] += cnt[b];
+    for (const Kv& x : v) tmp[cnt[(x.key >> shift) & (NB - 1)]++] = x;
+    v.swap(tmp);
+  }
+}
+
+// Fused seed join + diagonal-window chaining for one strand (the numpy
+// falcon_tpu.overlap.engine._chain_candidates semantics, kept in exact
+// agreement -- see tests/test_engine_chain.py):
+//   hit key = pair(a,b) * nbins + bin(qpos - tpos), radix-sorted;
+//   per (pair, bin) run: count + min packed (qpos<<21|tpos);
+//   window = run + next run when it is the pair's adjacent bin;
+//   best window per pair by (count desc, bin asc), >= min_hits;
+//   anchor = window run's min, or the adjacent run's min when that one
+//   starts strictly earlier on the query.
+// filter_mode: 0 = none, 1 = keep rids_a[a] < rids_b[b], 2 = keep !=.
+// Returns n candidates; out6 = six int32 arrays (a, b, strand is the
+// caller's, qpos, tpos, n_seeds) -- caller frees with ftpu_free_i32.
+long ftpu_seed_chain_impl(const uint8_t* q_codes, const int64_t* q_offsets,
+                          long n_q, const uint8_t* t_codes,
+                          const int64_t* t_offsets, long n_t, int K,
+                          int stride, int max_freq, int bin_size,
+                          int min_hits, int filter_mode,
+                          const int64_t* rids_a, const int64_t* rids_b,
+                          int32_t** out5) {
+  const int SHIFT = 34;
+  const uint64_t POS_MASK = (1ULL << SHIFT) - 1;
+
+  vector<uint64_t> table, qarr;
+  pack_kmers(t_codes, t_offsets, n_t, K, 1, table);
+  pack_kmers(q_codes, q_offsets, n_q, K, stride, qarr);
+  radix_sort_u64(table, 2 * K + SHIFT);
+  radix_sort_u64(qarr, 2 * K + SHIFT);
+
+  // bin layout: diag in [-max_len, max_len]
+  int64_t max_len = 1;
+  for (long r = 0; r < n_q; ++r)
+    max_len = std::max(max_len, q_offsets[r + 1] - q_offsets[r]);
+  for (long r = 0; r < n_t; ++r)
+    max_len = std::max(max_len, t_offsets[r + 1] - t_offsets[r]);
+  const int64_t bin_base = max_len / bin_size + 2;
+  const uint64_t nbins = 2 * bin_base + 3;
+
+  vector<Kv> hits;
+  hits.reserve(1 << 20);
+  const size_t nq = qarr.size(), nt = table.size();
+  size_t i = 0, j = 0;
+  long q_hint = 0, t_hint = 0;
+  while (i < nq && j < nt) {
+    const uint64_t qk = qarr[i] >> SHIFT;
+    const uint64_t tk = table[j] >> SHIFT;
+    if (qk < tk) { ++i; continue; }
+    if (tk < qk) { ++j; continue; }
+    size_t ie = i + 1;
+    while (ie < nq && (qarr[ie] >> SHIFT) == qk) ++ie;
+    size_t je = j + 1;
+    while (je < nt && (table[je] >> SHIFT) == tk) ++je;
+    if ((long)(je - j) <= max_freq) {
+      for (size_t a = i; a < ie; ++a) {
+        const int64_t qflat = (int64_t)(qarr[a] & POS_MASK);
+        q_hint = read_of(q_offsets, n_q, qflat, q_hint);
+        const int64_t q_loc = qflat - q_offsets[q_hint];
+        const int64_t a_rid = rids_a[q_hint];
+        for (size_t b = j; b < je; ++b) {
+          const int64_t tflat = (int64_t)(table[b] & POS_MASK);
+          t_hint = read_of(t_offsets, n_t, tflat, t_hint);
+          const int64_t b_rid = rids_b[t_hint];
+          if (filter_mode == 1 ? !(a_rid < b_rid)
+                               : (filter_mode == 2 && a_rid == b_rid))
+            continue;
+          const int64_t t_loc = tflat - t_offsets[t_hint];
+          const int64_t diag = q_loc - t_loc;
+          // floor division (match python //)
+          const int64_t bin = diag >= 0 ? diag / bin_size
+                                        : -((-diag + bin_size - 1) / bin_size);
+          const uint64_t pair = (uint64_t)q_hint * (uint64_t)n_t
+                                + (uint64_t)t_hint;
+          hits.push_back({pair * nbins + (uint64_t)(bin + bin_base),
+                          ((uint64_t)q_loc << 21) | (uint64_t)t_loc});
+        }
+      }
+    }
+    i = ie;
+    j = je;
+  }
+  // key bits: pair < n_q*n_t (<= 2^42 for 2^21-read blocks) * nbins
+  int key_bits = 1;
+  {
+    uint64_t mx = (uint64_t)n_q * (uint64_t)n_t * nbins + nbins;
+    while ((1ULL << key_bits) < mx && key_bits < 63) ++key_bits;
+  }
+  radix_sort_kv(hits, key_bits);
+
+  // scan runs -> per-pair best window -> candidates
+  vector<int32_t> oa, ob, oq, ot, oc;
+  const size_t nh = hits.size();
+  size_t r = 0;
+  // per-run arrays for the current pair
+  vector<uint64_t> rbin;
+  vector<int64_t> rcnt;
+  vector<uint64_t> rmin;
+  while (r < nh) {
+    const uint64_t pair = hits[r].key / nbins;
+    rbin.clear(); rcnt.clear(); rmin.clear();
+    while (r < nh && hits[r].key / nbins == pair) {
+      const uint64_t key = hits[r].key;
+      uint64_t mn = hits[r].val;
+      int64_t c = 0;
+      while (r < nh && hits[r].key == key) {
+        mn = std::min(mn, hits[r].val);
+        ++c; ++r;
+      }
+      rbin.push_back(key % nbins);
+      rcnt.push_back(c);
+      rmin.push_back(mn);
+    }
+    // best window: count(run)+count(adjacent next) desc, then bin asc
+    long best = -1;
+    int64_t best_comb = -1;
+    const long nr = (long)rbin.size();
+    for (long x = 0; x < nr; ++x) {
+      int64_t comb = rcnt[x];
+      if (x + 1 < nr && rbin[x + 1] == rbin[x] + 1) comb += rcnt[x + 1];
+      if (comb > best_comb) { best_comb = comb; best = x; }
+    }
+    if (best < 0 || best_comb < min_hits) continue;
+    uint64_t anchor = rmin[best];
+    if (best + 1 < nr && rbin[best + 1] == rbin[best] + 1 &&
+        (rmin[best + 1] >> 21) < (anchor >> 21))
+      anchor = rmin[best + 1];
+    oa.push_back((int32_t)(pair / (uint64_t)n_t));
+    ob.push_back((int32_t)(pair % (uint64_t)n_t));
+    oq.push_back((int32_t)(anchor >> 21));
+    ot.push_back((int32_t)(anchor & ((1ULL << 21) - 1)));
+    oc.push_back((int32_t)std::min<int64_t>(best_comb, INT32_MAX));
+  }
+  const long n = (long)oa.size();
+  const size_t sz = sizeof(int32_t) * (n ? n : 1);
+  for (int c = 0; c < 5; ++c) out5[c] = (int32_t*)malloc(sz);
+  memcpy(out5[0], oa.data(), sizeof(int32_t) * n);
+  memcpy(out5[1], ob.data(), sizeof(int32_t) * n);
+  memcpy(out5[2], oq.data(), sizeof(int32_t) * n);
+  memcpy(out5[3], ot.data(), sizeof(int32_t) * n);
+  memcpy(out5[4], oc.data(), sizeof(int32_t) * n);
+  return n;
+}
+
 // Batch gapped-alignment reconstruction from the device traceback
 // kernel's packed move planes (ops.align_tb: 4 moves/byte, stream in
 // END->START order, code 3 = inactive).  packed_t is the TRANSPOSED
@@ -806,6 +977,17 @@ long ftpu_seed_hits(const uint8_t* q_codes, const int64_t* q_offsets,
   return ftpu_seed_hits_impl(q_codes, q_offsets, n_q, t_codes, t_offsets,
                              n_t, K, stride, max_freq, q_pos_out,
                              t_pos_out);
+}
+
+long ftpu_seed_chain(const uint8_t* q_codes, const int64_t* q_offsets,
+                     long n_q, const uint8_t* t_codes,
+                     const int64_t* t_offsets, long n_t, int K,
+                     int stride, int max_freq, int bin_size, int min_hits,
+                     int filter_mode, const int64_t* rids_a,
+                     const int64_t* rids_b, int32_t** out5) {
+  return ftpu_seed_chain_impl(q_codes, q_offsets, n_q, t_codes, t_offsets,
+                              n_t, K, stride, max_freq, bin_size,
+                              min_hits, filter_mode, rids_a, rids_b, out5);
 }
 
 long ftpu_seed_hits_idx(const uint8_t* q_codes, const int64_t* q_offsets,

@@ -73,6 +73,13 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.ftpu_moves_to_alns_c.restype = None
+    lib.ftpu_seed_chain.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_void_p)]
+    lib.ftpu_seed_chain.restype = ctypes.c_long
     return lib
 
 
@@ -264,3 +271,35 @@ def moves_to_alns(packed, lanes, q_list, t_list):
         o = int(out_offs[i])
         out.append((c, qa[o:o + c].tobytes(), ta[o:o + c].tobytes()))
     return out
+
+
+def seed_chain(q_codes, q_offsets, t_codes, t_offsets, K, stride,
+               max_freq, bin_size, min_hits, filter_mode, rids_a, rids_b):
+    """Fused seed join + diagonal-window chaining for one strand.
+
+    filter_mode: 0 none, 1 keep rids_a[a] < rids_b[b], 2 keep !=.
+    Returns int32 arrays (a_idx, b_idx, q_anchor, t_anchor, n_seeds),
+    pairs ascending by (a_idx, b_idx).  Exact semantics of
+    overlap.engine._chain_candidates (tests/test_engine_chain.py)."""
+    import numpy as np
+    lib = get_lib()
+    q_codes = np.ascontiguousarray(q_codes, dtype=np.uint8)
+    t_codes = np.ascontiguousarray(t_codes, dtype=np.uint8)
+    q_offsets = np.ascontiguousarray(q_offsets, dtype=np.int64)
+    t_offsets = np.ascontiguousarray(t_offsets, dtype=np.int64)
+    rids_a = np.ascontiguousarray(rids_a, dtype=np.int64)
+    rids_b = np.ascontiguousarray(rids_b, dtype=np.int64)
+    out5 = (ctypes.c_void_p * 5)()
+    n = lib.ftpu_seed_chain(
+        q_codes.ctypes.data, q_offsets.ctypes.data, len(q_offsets) - 1,
+        t_codes.ctypes.data, t_offsets.ctypes.data, len(t_offsets) - 1,
+        K, stride, max_freq, bin_size, min_hits, filter_mode,
+        rids_a.ctypes.data, rids_b.ctypes.data, out5)
+    try:
+        arrs = [np.ctypeslib.as_array(
+            ctypes.cast(out5[c], ctypes.POINTER(ctypes.c_int32)),
+            shape=(max(n, 1),))[:n].copy() for c in range(5)]
+    finally:
+        for c in range(5):
+            lib.ftpu_free_i32(out5[c])
+    return tuple(arrs)

@@ -277,25 +277,44 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
         a_flat[a_offsets[i]:a_offsets[i] + len(c)] = c
 
     if use_native:
-        # the two strand joins run in parallel threads (the C++ call
-        # releases the GIL; the sort+merge is single-threaded inside);
-        # read indices + local positions come back directly (int32)
+        # fused C++ join+chain per strand (radix sorts, no hit arrays
+        # cross into python -- ~10^8 hits collapse to ~10^5 candidates);
+        # the two strands run in parallel threads (GIL released)
         from concurrent.futures import ThreadPoolExecutor
+        fmode = 1 if same_block else 2
         with ThreadPoolExecutor(2) as tpe:
-            f0 = tpe.submit(native.seed_hits_idx, a_flat, a_offsets,
+            f0 = tpe.submit(native.seed_chain, a_flat, a_offsets,
                             index.fwd, index.offsets, K, params.stride,
-                            params.max_kmer_freq)
-            f1 = tpe.submit(native.seed_hits_idx, a_flat, a_offsets,
+                            params.max_kmer_freq, params.bin_size,
+                            params.min_hits, fmode, rids_a, index.rids)
+            f1 = tpe.submit(native.seed_chain, a_flat, a_offsets,
                             index.rev, index.offsets, K, params.stride,
-                            params.max_kmer_freq)
-            ai0, qp0, bi0, tp0 = f0.result()
-            ai1, qp1, bi1, tp1 = f1.result()
-        a_idx = np.concatenate([ai0, ai1])
-        qpos = np.concatenate([qp0, qp1])
-        b_idx = np.concatenate([bi0, bi1])
-        tpos = np.concatenate([tp0, tp1])
-        strand = np.concatenate([np.zeros(len(ai0), np.int8),
-                                 np.ones(len(ai1), np.int8)])
+                            params.max_kmer_freq, params.bin_size,
+                            params.min_hits, fmode, rids_a, index.rids)
+            c0 = f0.result()
+            c1 = f1.result()
+        # merge the per-strand candidate lists to (a, b, strand) order
+        # (the order the one-sort numpy path produces)
+        cands = []
+        i0 = i1 = 0
+        n0, n1 = len(c0[0]), len(c1[0])
+        while i0 < n0 or i1 < n1:
+            k0 = (c0[0][i0], c0[1][i0]) if i0 < n0 else (1 << 62, 0)
+            k1 = (c1[0][i1], c1[1][i1]) if i1 < n1 else (1 << 62, 0)
+            if k0 <= k1:
+                cands.append((int(c0[0][i0]), int(c0[1][i0]), 0,
+                              int(c0[2][i0]), int(c0[3][i0]),
+                              int(c0[4][i0])))
+                i0 += 1
+            else:
+                cands.append((int(c1[0][i1]), int(c1[1][i1]), 1,
+                              int(c1[2][i1]), int(c1[3][i1]),
+                              int(c1[4][i1])))
+                i1 += 1
+        LOG.debug("overlap_blocks: %d candidate pairs", len(cands))
+        if aligner is None:
+            aligner = extend_pairs_host
+        return aligner(store, index, rids_a, cands, params)
     else:
         keys, ok = _kmer_keys_flat(a_flat, K)
         pos = np.arange(len(keys), dtype=np.int64)

@@ -88,3 +88,25 @@ def test_seed_hits_idx_matches_flat():
                      b_idx.tolist(), (tp - to[b_idx]).tolist()))
     new = sorted(zip(ai.tolist(), qpl.tolist(), bi.tolist(), tpl.tolist()))
     assert old == new
+
+
+@pytest.mark.skipif(not native.available(), reason="no native lib")
+def test_seed_chain_matches_python_path(monkeypatch):
+    """overlap_blocks via the fused C++ seed_chain must produce the same
+    overlap records (and order) as the pure-python join+chain path."""
+    from falcon_tpu.io import readstore
+    from falcon_tpu.utils import sim
+    genome = sim.random_genome(30000, seed=5)
+    reads = sim.simulate_reads(genome, coverage=10, mean_len=5000,
+                               min_len=1500, error=0.05, seed=6)
+    store = readstore.ReadStore.from_seqs([s for _, s in reads])
+    rids = np.arange(len(store), dtype=np.int64)
+    params = engine.OverlapParams(k=12, min_hits=3, bin_size=256,
+                                  stride=2, min_overlap=800, min_idt=0.5)
+    recs_native = engine.overlap_blocks(store, rids, rids, params)
+    monkeypatch.setattr("falcon_tpu.ops.native._lib", None)
+    monkeypatch.setattr("falcon_tpu.ops.native._tried", True)
+    recs_py = engine.overlap_blocks(store, rids, rids, params)
+    assert len(recs_native) == len(recs_py) > 10
+    assert [r.to_line() for r in recs_native] == \
+        [r.to_line() for r in recs_py]
