@@ -45,8 +45,22 @@ for _i, _c in enumerate(b"ACGT"):
 
 
 def seq_to_codes(seq):
+    if isinstance(seq, np.ndarray):
+        return seq
     return _CODE[np.frombuffer(seq.encode() if isinstance(seq, str)
                                else seq, dtype=np.uint8)]
+
+
+_A = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def seq_to_ascii(seq):
+    """bytes of the sequence; accepts str or uint8 code arrays (group
+    items carry raw ReadStore codes to avoid a decode+re-encode round
+    trip per support)."""
+    if isinstance(seq, np.ndarray):
+        return _A[np.minimum(seq, 3)].tobytes()
+    return seq.encode() if isinstance(seq, str) else bytes(seq)
 
 
 def gate_group_ranged(seed_id, items, cfg):
@@ -171,21 +185,20 @@ class DeviceCns:
             buckets.setdefault(L, []).append(idx)
         inflight = []
         t_disp = _time.time()
+        import jax.numpy as jnp
+        from ..ops.align_device import _gather_pad2, _pack_tasks
         for L in sorted(buckets):
             idxs = buckets[L]
             B = self._batch_for(L)
             for ofs in range(0, len(idxs), B):
                 chunk = idxs[ofs:ofs + B]
-                q = np.full((B, L), 4, dtype=np.int8)
-                t = np.full((B, L), 5, dtype=np.int8)
-                qlen = np.zeros(B, dtype=np.int32)
-                tlen = np.zeros(B, dtype=np.int32)
-                for bi_, idx in enumerate(chunk):
-                    qc, tc = tasks[idx]
-                    q[bi_, :len(qc)] = qc
-                    t[bi_, :len(tc)] = tc
-                    qlen[bi_] = len(qc)
-                    tlen[bi_] = len(tc)
+                cat, qo, qlen, to_, tlen = _pack_tasks(tasks, chunk, B, L)
+                # pad on device: one flat H2D + gather (the per-row host
+                # padding loop costs seconds per chunk at scale)
+                q, t = _gather_pad2(
+                    jnp.asarray(cat), jnp.asarray(qo), jnp.asarray(qlen),
+                    jnp.asarray(to_), jnp.asarray(tlen), L=L,
+                    fill_q=4, fill_t=5)
                 inflight.append((chunk, self._align_tb(q, qlen, t, tlen)))
         LOG.info("cns.device: dispatched %d aln tasks, %d buckets %s, "
                  "%d batches in %.1fs", len(tasks), len(buckets),
@@ -249,8 +262,8 @@ class DeviceCns:
             for si, (sup, rng, is_self) in enumerate(sups):
                 if is_self:
                     # identity alignment, no device work needed
-                    group_alns[gi].append(
-                        (si, (seed_seq.encode(), seed_seq.encode(), 0, 0)))
+                    ascii_ = seq_to_ascii(seed_seq)
+                    group_alns[gi].append((si, (ascii_, ascii_, 0, 0)))
                     continue
                 if rng is None:
                     rng = self._host_range(sup, seed_seq, cfg)
@@ -312,6 +325,10 @@ class DeviceCns:
         """Range fallback when no overlap coordinates travel with the
         group (stream inputs): host k-mer chain, reference semantics."""
         from ..ops import kmer as _kmer
+        if isinstance(seed, np.ndarray):
+            seed = seq_to_ascii(seed).decode()
+        if isinstance(sup, np.ndarray):
+            sup = seq_to_ascii(sup).decode()
         lookup = _kmer.KmerLookup(seed, cfg.K)
         qp, tp = lookup.find_kmer_pos_for_seq(sup)
         if len(qp) == 0:
@@ -357,8 +374,21 @@ def run_consensus_device(groups, cfg, out, dev=None):
             while len(futs) > 2:     # bound in-flight chunks (HBM/host RAM)
                 futs.pop(0).result()
 
-        for seed_id, items in groups:
+        import time as _time
+        t_gate = 0.0
+        t_gen = 0.0
+        t0 = _time.time()
+        groups = iter(groups)
+        while True:
+            t_gen -= _time.time()
+            nxt = next(groups, None)
+            t_gen += _time.time()
+            if nxt is None:
+                break
+            seed_id, items = nxt
+            t_gate -= _time.time()
             gated = gate_group_ranged(seed_id, items, cfg)
+            t_gate += _time.time()
             if gated is None:
                 continue
             seed_seq, sups = gated
@@ -369,4 +399,6 @@ def run_consensus_device(groups, cfg, out, dev=None):
         flush()
         for f in futs:
             f.result()
+        LOG.info("cns.device: total %.1fs (group gen %.1fs, gate %.1fs)",
+                 _time.time() - t0, t_gen, t_gate)
     return emitted

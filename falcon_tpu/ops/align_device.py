@@ -131,11 +131,80 @@ def extend_batch_device(q, qlen, t, tlen, W=512, end_bonus=3):
             jnp.where(found, bd, 0))
 
 
+@functools.partial(jax.jit, static_argnames=("L", "fill_q", "fill_t"))
+def _gather_pad2(cat, q_offs, q_lens, t_offs, t_lens, L, fill_q, fill_t):
+    """Device-side batch padding: one flat int8 concat of all rows ->
+    two [B, L] padded planes.  Replaces the per-row host padding loop
+    (10^5+ python row writes per block at E. coli scale)."""
+    import jax.numpy as jnp
+    ar = jnp.arange(L, dtype=jnp.int32)[None, :]
+    cap = cat.shape[0] - 1
+
+    def one(offs, lens, fill):
+        idx = jnp.minimum(offs[:, None] + ar, cap)
+        return jnp.where(ar < lens[:, None], cat[idx], jnp.int8(fill))
+
+    return one(q_offs, q_lens, fill_q), one(t_offs, t_lens, fill_t)
+
+
+def _pack_tasks(tasks, idxs, B, L):
+    """Host side of _gather_pad2: ONE np.concatenate of the B tasks'
+    q/t slices into a fixed [2*B*L + 1] buffer + offset/length vectors
+    (a single C call instead of 2B per-row copies)."""
+    parts = []
+    for idx in idxs:
+        qc, tc = tasks[idx]   # uint8 code arrays (views are fine --
+        parts.append(qc)      # np.concatenate strides through them)
+        parts.append(tc)
+    n = len(parts)
+    lens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=n)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    cat = np.zeros(2 * B * L + 1, np.uint8)
+    if n:
+        np.concatenate(parts, out=cat[:offs[-1]])
+    q_offs = offs[0:n:2].astype(np.int32)
+    t_offs = offs[1:n:2].astype(np.int32)
+    q_lens = lens[0::2].astype(np.int32)
+    t_lens = lens[1::2].astype(np.int32)
+    pad = B - len(q_offs)
+    if pad:
+        z = np.zeros(pad, np.int32)
+        q_offs = np.concatenate([q_offs, z])
+        t_offs = np.concatenate([t_offs, z])
+        q_lens = np.concatenate([q_lens, z])
+        t_lens = np.concatenate([t_lens, z])
+    return cat.view(np.int8), q_offs, q_lens, t_offs, t_lens
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("L", "fill_q", "fill_t"))
+def _gather_specs2(flat, q_off, q_len, q_dir, t_off, t_len, t_dir,
+                   L, fill_q, fill_t):
+    """Spec-based device padding: rows are (offset, length, direction)
+    slices of ONE resident flat code array (the block's packed reads,
+    shipped to HBM once per block pair) -- no per-task bytes cross the
+    tunnel at all.  dir=-1 reads the slice reversed (the backward
+    extension of an anchor)."""
+    import jax.numpy as jnp
+    ar = jnp.arange(L, dtype=jnp.int32)[None, :]
+    cap = flat.shape[0] - 1
+
+    def one(off, ln, dr, fill):
+        idx = jnp.clip(off[:, None] + ar * dr[:, None], 0, cap)
+        return jnp.where(ar < ln[:, None], flat[idx], jnp.int8(fill))
+
+    return one(q_off, q_len, q_dir, fill_q), one(t_off, t_len, t_dir,
+                                                 fill_t)
+
+
 class DeviceExtender:
     """Length-bucketed batching front-end for extend_batch_device.
 
     Collects (q_codes, t_codes) extension tasks, pads them into power-of-2
     buckets and runs the device kernel; returns per-task (i, j, d).
+    run_specs() is the zero-copy variant: tasks are (offset, len, dir)
+    slices of one flat array resident on device.
     """
 
     def __init__(self, W=512, end_bonus=3, max_batch=128, use_pallas=None):
@@ -185,8 +254,9 @@ class DeviceExtender:
                     exc_info=True)
                 self.use_pallas = False
         return extend_batch_device(
-            jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
-            jnp.asarray(tlen), W=self.W, end_bonus=self.end_bonus)
+            jnp.asarray(q).astype(jnp.int32), jnp.asarray(qlen),
+            jnp.asarray(t).astype(jnp.int32), jnp.asarray(tlen),
+            W=self.W, end_bonus=self.end_bonus)
 
     def run(self, tasks):
         """tasks: list of (q_codes uint8, t_codes uint8).  Returns
@@ -212,6 +282,7 @@ class DeviceExtender:
             L = max(L, 256)
             buckets.setdefault(L, []).append(idx)
         import logging, time as _time
+        import jax
         _log = logging.getLogger(__name__)
         # Two-phase async pipeline: dispatch every batch first (JAX queues
         # the transfers + kernels without blocking), then collect.  This
@@ -222,23 +293,30 @@ class DeviceExtender:
         inflight = []  # (chunk_idxs, device results)
         _t_disp = _time.time()
         n_batches = 0
+        import jax.numpy as jnp
+        multi = len(jax.devices()) > 1
         for L in sorted(buckets):
             idxs = buckets[L]
             B = self._batch_for(L)
-            dt = np.int8 if self.use_pallas is not False else np.int32
             for ofs in range(0, len(idxs), B):
                 chunk = idxs[ofs:ofs + B]
-                q = np.full((B, L), 4, dtype=dt)
-                t = np.full((B, L), 5, dtype=dt)
-                qlen = np.zeros(B, dtype=np.int32)
-                tlen = np.zeros(B, dtype=np.int32)
-                for bi_, idx in enumerate(chunk):
-                    qc, tc = tasks[idx]
-                    q[bi_, :len(qc)] = qc
-                    t[bi_, :len(tc)] = tc
-                    qlen[bi_] = len(qc)
-                    tlen[bi_] = len(tc)
-                inflight.append((chunk, self._extend(q, qlen, t, tlen)))
+                cat, qo, ql_, to_, tl_ = _pack_tasks(tasks, chunk, B, L)
+                if multi:
+                    # sharded path wants host arrays; pad on host
+                    q = np.full((B, L), 4, dtype=np.int8)
+                    t = np.full((B, L), 5, dtype=np.int8)
+                    for bi_, idx in enumerate(chunk):
+                        qc, tc = tasks[idx]
+                        q[bi_, :len(qc)] = qc
+                        t[bi_, :len(tc)] = tc
+                    inflight.append((chunk, self._extend(q, ql_, t, tl_)))
+                else:
+                    # padding happens on device: one flat H2D + gather
+                    qd, td = _gather_pad2(
+                        jnp.asarray(cat), jnp.asarray(qo), jnp.asarray(ql_),
+                        jnp.asarray(to_), jnp.asarray(tl_), L=L,
+                        fill_q=4, fill_t=5)
+                    inflight.append((chunk, self._extend(qd, ql_, td, tl_)))
                 n_batches += 1
         _t_coll = _time.time()
         # one batched device_get: per-array np.asarray costs a tunnel
@@ -251,6 +329,64 @@ class DeviceExtender:
         _log.info("extender: %d tasks, %d buckets, %d batches; "
                   "dispatch %.1fs collect %.1fs",
                   len(tasks), len(buckets), n_batches,
+                  _t_coll - _t_disp, _time.time() - _t_coll)
+        return results
+
+    def run_specs(self, flat, q_off, q_len, q_dir, t_off, t_len, t_dir):
+        """Zero-copy task path: every task row is an (offset, len, dir)
+        slice of `flat` (uint8 codes), which is shipped to HBM once.
+
+        Returns list of (i, j, d) per task, like run()."""
+        n = len(q_off)
+        if n == 0:
+            return []
+        import logging, time as _time
+        import jax
+        import jax.numpy as jnp
+        _log = logging.getLogger(__name__)
+        _t_disp = _time.time()
+        # band cap: the longer side never advances past min(len) + W/2
+        cap = np.minimum(q_len, t_len) + (self.W // 2 + 8)
+        q_len = np.minimum(q_len, cap).astype(np.int32)
+        t_len = np.minimum(t_len, cap).astype(np.int32)
+        m = np.maximum(np.maximum(q_len, t_len), 1)
+        Ls = np.maximum(1 << np.ceil(np.log2(m)).astype(np.int64), 256)
+        # resident flat, padded to a stable pow2 shape
+        fl = 1 << int(np.ceil(np.log2(max(len(flat), 2))))
+        flat_p = np.zeros(fl + 1, np.uint8)
+        flat_p[:len(flat)] = flat
+        flat_d = jnp.asarray(flat_p.view(np.int8))
+        specs = (q_off.astype(np.int32), q_len, q_dir.astype(np.int32),
+                 t_off.astype(np.int32), t_len, t_dir.astype(np.int32))
+        results = [None] * n
+        inflight = []
+        n_batches = 0
+        n_buckets = 0
+        for L in np.unique(Ls):
+            idxs = np.nonzero(Ls == L)[0]
+            L = int(L)
+            B = self._batch_for(L)
+            n_buckets += 1
+            for ofs in range(0, len(idxs), B):
+                chunk = idxs[ofs:ofs + B]
+                sel = [np.zeros(B, np.int32) for _ in range(6)]
+                for c in range(6):
+                    sel[c][:len(chunk)] = specs[c][chunk]
+                qd, td = _gather_specs2(
+                    flat_d, jnp.asarray(sel[0]), jnp.asarray(sel[1]),
+                    jnp.asarray(sel[2]), jnp.asarray(sel[3]),
+                    jnp.asarray(sel[4]), jnp.asarray(sel[5]),
+                    L=L, fill_q=4, fill_t=5)
+                inflight.append(
+                    (chunk, self._extend(qd, sel[1], td, sel[4])))
+                n_batches += 1
+        _t_coll = _time.time()
+        fetched = jax.device_get([outs for _, outs in inflight])
+        for (chunk, _), (bi, bj, bd) in zip(inflight, fetched):
+            for k, idx in enumerate(chunk):
+                results[idx] = (int(bi[k]), int(bj[k]), int(bd[k]))
+        _log.info("extender(specs): %d tasks, %d buckets, %d batches; "
+                  "dispatch %.1fs collect %.1fs", n, n_buckets, n_batches,
                   _t_coll - _t_disp, _time.time() - _t_coll)
         return results
 

@@ -289,6 +289,12 @@ def seed_chain(q_codes, q_offsets, t_codes, t_offsets, K, stride,
     t_offsets = np.ascontiguousarray(t_offsets, dtype=np.int64)
     rids_a = np.ascontiguousarray(rids_a, dtype=np.int64)
     rids_b = np.ascontiguousarray(rids_b, dtype=np.int64)
+    # anchors are packed (qpos << 21 | tpos) in the C++ scan
+    max_len = max(int(np.diff(q_offsets).max(initial=0)),
+                  int(np.diff(t_offsets).max(initial=0)))
+    if max_len >= (1 << 21):
+        raise ValueError("seed_chain: read length %d exceeds the 2^21 "
+                         "position packing" % max_len)
     out5 = (ctypes.c_void_p * 5)()
     n = lib.ftpu_seed_chain(
         q_codes.ctypes.data, q_offsets.ctypes.data, len(q_offsets) - 1,

@@ -417,23 +417,93 @@ def extend_one(a_codes, b_codes, qa, ta, params):
 
 def make_device_aligner(W=512, end_bonus=3, max_batch=512):
     """Batched TPU extension path: both extensions of every candidate ride
-    one device batch (see ops.align_device)."""
+    one device batch (see ops.align_device).  Single-device runs use the
+    spec path: the block's packed codes go to HBM once and every task row
+    is gathered on device from (offset, len, dir) specs -- no per-task
+    sequence bytes cross the host-device link."""
     from ..ops.align_device import DeviceExtender
     ext = DeviceExtender(W=W, end_bonus=end_bonus, max_batch=max_batch)
 
+    def _specs_path(store, index, rids_a, cands, params):
+        c = np.asarray(cands, dtype=np.int64)          # [N, 6]
+        ai, bi, strand, qa, ta = (c[:, 0], c[:, 1], c[:, 2], c[:, 3],
+                                  c[:, 4])
+        a_same = rids_a is index.rids or (
+            len(rids_a) == len(index.rids) and
+            np.array_equal(rids_a, index.rids))
+        if a_same:
+            a_flat = None
+            a_base = 0
+            a_offsets = index.offsets
+            a_lens = index.lens
+            flat = np.concatenate([index.fwd, index.rev])
+            fwd_base = 0
+        else:
+            a_lens = store.lengths[rids_a].astype(np.int64)
+            a_offsets = np.zeros(len(rids_a) + 1, np.int64)
+            np.cumsum(a_lens, out=a_offsets[1:])
+            a_flat = np.empty(int(a_offsets[-1]), np.uint8)
+            for k, rid in enumerate(rids_a):
+                cc = store.get_codes(rid)
+                a_flat[a_offsets[k]:a_offsets[k] + len(cc)] = cc
+            flat = np.concatenate([a_flat, index.fwd, index.rev])
+            a_base = 0
+            fwd_base = len(a_flat)
+        rev_base = fwd_base + len(index.fwd)
+
+        a_off0 = a_base + a_offsets[ai]
+        a_len = a_lens[ai]
+        bo = index.offsets[bi]
+        blen = index.lens[bi]
+        t_base = np.where(strand == 0, fwd_base, rev_base)
+
+        N = len(c)
+        q_off = np.empty(2 * N, np.int64)
+        q_len = np.empty(2 * N, np.int64)
+        q_dir = np.empty(2 * N, np.int64)
+        t_off = np.empty(2 * N, np.int64)
+        t_len = np.empty(2 * N, np.int64)
+        t_dir = np.empty(2 * N, np.int64)
+        q_off[0::2] = a_off0 + qa          # fwd: a_codes[qa:]
+        q_len[0::2] = a_len - qa
+        q_dir[0::2] = 1
+        t_off[0::2] = t_base + bo + ta     # fwd: b_codes[ta:]
+        t_len[0::2] = blen - ta
+        t_dir[0::2] = 1
+        q_off[1::2] = a_off0 + qa - 1      # bwd: a_codes[:qa] reversed
+        q_len[1::2] = qa
+        q_dir[1::2] = -1
+        t_off[1::2] = t_base + bo + ta - 1
+        t_len[1::2] = ta
+        t_dir[1::2] = -1
+        return ext.run_specs(flat, q_off, q_len, q_dir,
+                             t_off, t_len, t_dir)
+
     def aligner(store, index, rids_a, cands, params):
-        tasks = []
-        meta = []
-        for (ai, bi, strand, qa, ta, n_seeds) in cands:
-            a_rid = int(rids_a[ai])
-            a_codes = store.get_codes(a_rid)
-            bo = index.offsets[bi]
-            blen = int(index.lens[bi])
-            b_codes = (index.fwd if strand == 0 else index.rev)[bo:bo + blen]
-            tasks.append((a_codes[qa:], b_codes[ta:]))            # fwd
-            tasks.append((a_codes[:qa][::-1], b_codes[:ta][::-1]))  # bwd
-            meta.append((ai, bi, strand, qa, ta, len(a_codes), blen))
-        res = ext.run(tasks)
+        if not cands:
+            return []
+        import jax
+        if len(jax.devices()) == 1:
+            res = _specs_path(store, index, rids_a, cands, params)
+            meta = [(ai, bi, strand, qa, ta,
+                     int(store.lengths[int(rids_a[ai])]),
+                     int(index.lens[bi]))
+                    for (ai, bi, strand, qa, ta, _) in cands]
+        else:
+            tasks = []
+            meta = []
+            for (ai, bi, strand, qa, ta, n_seeds) in cands:
+                a_rid = int(rids_a[ai])
+                a_codes = store.get_codes(a_rid)
+                bo = index.offsets[bi]
+                blen = int(index.lens[bi])
+                b_codes = (index.fwd if strand == 0
+                           else index.rev)[bo:bo + blen]
+                tasks.append((a_codes[qa:], b_codes[ta:]))            # fwd
+                tasks.append((a_codes[:qa][::-1],
+                              b_codes[:ta][::-1]))                    # bwd
+                meta.append((ai, bi, strand, qa, ta, len(a_codes), blen))
+            res = ext.run(tasks)
         out = []
         for m, k in zip(meta, range(0, len(res), 2)):
             ai, bi, strand, qa, ta, a_len, blen = m

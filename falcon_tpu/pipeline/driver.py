@@ -145,23 +145,25 @@ class Pipeline:
         ccfg = cns_runner.ConsensusConfig.from_option_string(
             p.falcon_sense_option)
 
+        n_core = ccfg.n_core if ccfg.n_core > 0 else (os.cpu_count() or 1)
+        use_dev_cns = (self.p.use_device and
+                       os.environ.get("FTPU_CNS_DEVICE", "1") != "0" and
+                       self._aligner() is not None)
+
         def groups():
             cur_seed = None
             cur = []
             for o in recs:
                 if o.a_id != cur_seed:
                     if cur_seed is not None:
-                        yield self._make_group(store, cur_seed, cur, cutoff)
+                        yield self._make_group(store, cur_seed, cur,
+                                               cutoff, as_codes=use_dev_cns)
                     cur_seed = o.a_id
                     cur = []
                 cur.append(o)
             if cur_seed is not None:
-                yield self._make_group(store, cur_seed, cur, cutoff)
-
-        n_core = ccfg.n_core if ccfg.n_core > 0 else (os.cpu_count() or 1)
-        use_dev_cns = (self.p.use_device and
-                       os.environ.get("FTPU_CNS_DEVICE", "1") != "0" and
-                       self._aligner() is not None)
+                yield self._make_group(store, cur_seed, cur, cutoff,
+                                       as_codes=use_dev_cns)
         with open(preads_fn + ".tmp", "w") as out:
             live = (g for g in groups() if g is not None)
             if use_dev_cns:
@@ -188,13 +190,16 @@ class Pipeline:
             LOG.exception("phase0: stats report failed (non-fatal)")
         return preads_fn
 
-    def _make_group(self, store, seed_id, ovls, cutoff):
+    def _make_group(self, store, seed_id, ovls, cutoff, as_codes=False):
         """(seed_id, [(read_id, seq, rng), ...]) with the seed first.
 
         rng = (s1, e1, s2, e2): the support/seed alignment range from the
         overlap record, on the seed's strand (the device consensus path
         reuses these instead of re-seeding; reference fc_consensus gets
-        bare sequences over the LA4Falcon pipe and must re-seed)."""
+        bare sequences over the LA4Falcon pipe and must re-seed).
+        as_codes: supports stay uint8 code arrays (the device path
+        consumes codes; decoding 10^5..10^6 supports to strings just to
+        re-encode them costs tens of seconds at E. coli scale)."""
         rid = int(seed_id)
         if store.lengths[rid] < cutoff:
             return None
@@ -209,7 +214,8 @@ class Pipeline:
                        o.a_start, o.a_end)
             else:
                 rng = (o.b_start, o.b_end, o.a_start, o.a_end)
-            out.append((o.b_id, readstore.decode_seq(codes), rng))
+            out.append((o.b_id, codes if as_codes
+                        else readstore.decode_seq(codes), rng))
         return seed_id, out
 
     # -- phase 1: pread overlap --------------------------------------------

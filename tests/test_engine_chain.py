@@ -110,3 +110,43 @@ def test_seed_chain_matches_python_path(monkeypatch):
     assert len(recs_native) == len(recs_py) > 10
     assert [r.to_line() for r in recs_native] == \
         [r.to_line() for r in recs_py]
+
+
+@pytest.mark.slow
+def test_run_specs_matches_run():
+    """DeviceExtender.run_specs (resident-flat gather tasks) must equal
+    run() (materialized task slices) on the same extension tasks.
+    Slow: the CPU multi-device backend pays ~1 min of sharded-kernel
+    compile per path; full-size parity also runs on TPU (the device
+    e2e bench asserts identical contigs)."""
+    from falcon_tpu.ops.align_device import DeviceExtender
+    rng = np.random.RandomState(2)
+    flat = rng.randint(0, 4, 6000).astype(np.uint8)
+    N = 24
+    q_off = rng.randint(300, 5000, N).astype(np.int64)
+    q_len = rng.randint(0, 250, N).astype(np.int64)
+    q_dir = rng.choice([1, -1], N).astype(np.int64)
+    t_off = np.minimum(q_off + rng.randint(-50, 50, N), 5999)
+    t_len = np.clip(q_len + rng.randint(-60, 60, N), 0, 250)
+    t_dir = q_dir.copy()
+    # keep slices in bounds
+    for off, ln, dr in ((q_off, q_len, q_dir), (t_off, t_len, t_dir)):
+        fwd = dr == 1
+        ln[fwd] = np.minimum(ln[fwd], len(flat) - off[fwd])
+        ln[~fwd] = np.minimum(ln[~fwd], off[~fwd] + 1)
+    ext = DeviceExtender(W=64, max_batch=8, use_pallas=False)
+    tasks = []
+    for k in range(N):
+        if q_dir[k] == 1:
+            qc = flat[q_off[k]:q_off[k] + q_len[k]]
+        else:
+            qc = flat[q_off[k] - q_len[k] + 1:q_off[k] + 1][::-1]
+        if t_dir[k] == 1:
+            tc = flat[t_off[k]:t_off[k] + t_len[k]]
+        else:
+            tc = flat[t_off[k] - t_len[k] + 1:t_off[k] + 1][::-1]
+        tasks.append((qc, tc))
+    r_mat = ext.run(tasks)
+    r_specs = ext.run_specs(flat, q_off, q_len, q_dir,
+                            t_off, t_len, t_dir)
+    assert r_mat == r_specs
