@@ -132,7 +132,7 @@ def _range_ok(rng):
 class DeviceCns:
     """Chunked device consensus over gated groups."""
 
-    def __init__(self, W=256, max_cells=1 << 19, chunk_tasks=4096,
+    def __init__(self, W=256, max_cells=1 << 19, chunk_tasks=8192,
                  use_pallas=None, moves_budget=1 << 30):
         from ..utils.jaxinit import setup_jax
         setup_jax()

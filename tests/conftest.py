@@ -10,3 +10,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+
+def pytest_configure(config):
+    # persistent jit-compile cache across test runs (the XLA-scan
+    # kernels cost ~1 min of CPU compile each, paid once)
+    from falcon_tpu.utils.jaxinit import setup_jax
+    setup_jax()
