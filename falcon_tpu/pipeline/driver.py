@@ -134,10 +134,19 @@ class Pipeline:
         with open(os.path.join(self.dir0, "length_cutoff"), "w") as f:
             f.write(str(cutoff) + "\n")
 
-        recs = self._overlap_store(store, self._engine_params(0), "phase0")
-        self.timings["phase0_overlap"] = time.time() - t_start
         ovl_fn = os.path.join(self.dir0, "raw_overlaps.ovl")
-        records.write_overlaps(ovl_fn, recs, terminator=True)
+        if _done(ovl_fn):
+            # resume: the overlap table is phase0's mid-phase checkpoint
+            LOG.info("phase0: %s exists; skipping overlap", ovl_fn)
+            recs = [records.Overlap.from_fields(f)
+                    for f in records.read_overlap_lines(ovl_fn)]
+            self.timings["phase0_overlap"] = 0.0
+        else:
+            recs = self._overlap_store(store, self._engine_params(0),
+                                       "phase0")
+            self.timings["phase0_overlap"] = time.time() - t_start
+            records.write_overlaps(ovl_fn + ".tmp", recs, terminator=True)
+            os.rename(ovl_fn + ".tmp", ovl_fn)
 
         # group by seed (LA4Falcon -H<cutoff> -fo semantics: A-read is the
         # seed; B reads are supports, RC'd onto the seed's strand)

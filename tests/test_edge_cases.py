@@ -52,3 +52,24 @@ def test_empty_fasta(tmp_path):
         # auto-cutoff on an empty store raises the reference's
         # GenomeCoverageError-equivalent (functional.py:252-258)
         Pipeline("fc_run.cfg", str(tmp_path), use_device=False).run()
+
+
+def test_phase0_overlap_resume(tmp_path):
+    """raw_overlaps.ovl is a mid-phase checkpoint: deleting only
+    preads.fasta must re-run consensus WITHOUT re-running overlap."""
+    os.chdir(tmp_path)
+    g = sim.random_genome(30000, seed=8)
+    reads = sim.simulate_reads(g, coverage=15, mean_len=5000,
+                               min_len=1500, error=0.04, seed=9)
+    fasta.write_fasta("raw_reads.fa", reads, width=0)
+    with open("input.fofn", "w") as f:
+        f.write("raw_reads.fa\n")
+    write_cfg("fc_run.cfg", 30000)
+    p = Pipeline("fc_run.cfg", str(tmp_path), use_device=False)
+    p.phase0()
+    first = open("0-rawreads/preads.fasta").read()
+    os.unlink("0-rawreads/preads.fasta")
+    p2 = Pipeline("fc_run.cfg", str(tmp_path), use_device=False)
+    p2.phase0()
+    assert p2.timings["phase0_overlap"] == 0.0   # resumed from .ovl
+    assert open("0-rawreads/preads.fasta").read() == first
