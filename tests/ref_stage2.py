@@ -86,6 +86,14 @@ class Nx1DiGraph:
             g.add_edge(v, u, **a)
         return g
 
+    def add_path(self, nodes, **attr):
+        # nx1 Graph.add_path: edges along consecutive nodes
+        nodes = list(nodes)
+        for u, v in zip(nodes[:-1], nodes[1:]):
+            self.add_edge(u, v, **attr)
+        for n in nodes:
+            self.add_node(n)
+
     def __contains__(self, n):
         return n in self.succ
 
@@ -386,4 +394,46 @@ def load_ref_graph_to_contig():
     orig = mod.get_aln_data
     mod.get_aln_data = lambda t, q: orig(t.encode(), q.encode())
     _loaded["graph_to_contig"] = mod
+    return mod
+
+
+def load_ref_main(name):
+    """Load any reference falcon_kit.mains.<name> module, runnable
+    (absolute `falcon_kit...` imports resolve against /root/reference).
+    py2 dict-iterator idioms are rewritten to py3 at load time."""
+    key = "main_" + name
+    if key in _loaded:
+        return _loaded[key]
+    _install_shims()
+    _install_nx_shim()
+    _install_ext_falcon()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    # pre-register py3-fixed versions of the package modules the GFA
+    # chain uses (they contain py2 dict-iterator idioms)
+    for pkgmod in ("falcon_kit.tiling_path", "falcon_kit.gfa_graph"):
+        if pkgmod not in sys.modules:
+            _exec_py2fixed(pkgmod,
+                           REF + "/" + pkgmod.replace(".", "/") + ".py")
+    mod = _exec_py2fixed("_ref_main_" + name,
+                         REF + "/falcon_kit/mains/%s.py" % name)
+    _loaded[key] = mod
+    return mod
+
+
+def _exec_py2fixed(name, path):
+    with open(path) as f:
+        src = (f.read()
+               .replace(".iteritems()", ".items()")
+               .replace(".itervalues()", ".values()")
+               .replace(".iterkeys()", ".keys()"))
+    mod = types.ModuleType(name)
+    mod.__file__ = path
+    mod.xrange = range        # py2 builtins some modules still use
+    sys.modules[name] = mod
+    exec(compile(src, path, "exec"), mod.__dict__)
+    if "." in name:  # attach to parent package for attribute access
+        parent, child = name.rsplit(".", 1)
+        if parent in sys.modules:
+            setattr(sys.modules[parent], child, mod)
     return mod

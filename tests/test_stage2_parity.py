@@ -193,3 +193,89 @@ def test_stage2_byte_parity(tmp_path):
 @pytest.mark.slow
 def test_stage2_byte_parity_hard(tmp_path):
     _run_case(tmp_path, reads=make_reads_hard())
+
+
+def _ref_capture_main(mod, argv, out_fn, tmp):
+    import contextlib
+    import io as _io
+    buf = _io.StringIO()
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        with contextlib.redirect_stdout(buf):
+            try:
+                mod.main(["prog"] + argv)
+            except SystemExit as e:
+                assert not e.code
+    finally:
+        os.chdir(cwd)
+    with open(os.path.join(tmp, out_fn), "w") as f:
+        f.write(buf.getvalue())
+
+
+def _my_capture_main(modname, argv, out_fn, tmp):
+    import contextlib
+    import importlib
+    import io as _io
+    mod = importlib.import_module("falcon_tpu.mains." + modname)
+    buf = _io.StringIO()
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        with contextlib.redirect_stdout(buf):
+            rc = mod.main(["prog"] + argv)
+            assert not rc
+    finally:
+        os.chdir(cwd)
+    with open(os.path.join(tmp, out_fn), "w") as f:
+        f.write(buf.getvalue())
+
+
+def test_gfa_byte_parity(tmp_path):
+    """The GFA chain (dedup_a_tigs -> collect_pread/contig_gfa ->
+    gen_gfa_v1/v2) is byte-identical to the reference's on the same
+    stage-2 artifacts (the TASK_RUN_FALCON_ASM_SCRIPT recipe,
+    reference pype_tasks.py:121-164)."""
+    import shutil
+    tmp_ref = str(tmp_path / "ref")
+    tmp_my = str(tmp_path / "mine")
+    os.makedirs(tmp_ref)
+    os.makedirs(tmp_my)
+    make_preads_ovl(tmp_ref)
+    shutil.copy(os.path.join(tmp_ref, "preads.ovl"),
+                os.path.join(tmp_my, "preads.ovl"))
+    shutil.copy(os.path.join(tmp_ref, "preads4falcon.fasta"),
+                os.path.join(tmp_my, "preads4falcon.fasta"))
+    run_reference(tmp_ref, os.path.join(tmp_ref, "preads.ovl"))
+    run_mine(tmp_my, os.path.join(tmp_my, "preads.ovl"))
+
+    # reference chain
+    _ref_capture_main(ref_stage2.load_ref_main("dedup_a_tigs"), [],
+                      "a_ctg.fa", tmp_ref)
+    _ref_capture_main(ref_stage2.load_ref_main("collect_pread_gfa"), [],
+                      "asm.gfa.json", tmp_ref)
+    _ref_capture_main(ref_stage2.load_ref_main("collect_pread_gfa"),
+                      ["--add-string-graph"], "sg.gfa.json", tmp_ref)
+    _ref_capture_main(ref_stage2.load_ref_main("collect_contig_gfa"), [],
+                      "contig.gfa2.json", tmp_ref)
+    _ref_capture_main(ref_stage2.load_ref_main("gen_gfa_v1"),
+                      ["asm.gfa.json"], "asm.gfa", tmp_ref)
+    _ref_capture_main(ref_stage2.load_ref_main("gen_gfa_v1"),
+                      ["sg.gfa.json"], "sg.gfa", tmp_ref)
+    _ref_capture_main(ref_stage2.load_ref_main("gen_gfa_v2"),
+                      ["contig.gfa2.json"], "contig.gfa2", tmp_ref)
+
+    # our chain
+    _my_capture_main("dedup_a_tigs", [], "a_ctg.fa", tmp_my)
+    _my_capture_main("collect_pread_gfa", [], "asm.gfa.json", tmp_my)
+    _my_capture_main("collect_pread_gfa", ["--add-string-graph"],
+                     "sg.gfa.json", tmp_my)
+    _my_capture_main("collect_contig_gfa", [], "contig.gfa2.json", tmp_my)
+    _my_capture_main("gen_gfa_v1", ["asm.gfa.json"], "asm.gfa", tmp_my)
+    _my_capture_main("gen_gfa_v1", ["sg.gfa.json"], "sg.gfa", tmp_my)
+    _my_capture_main("gen_gfa_v2", ["contig.gfa2.json"], "contig.gfa2",
+                     tmp_my)
+
+    for fn in ("a_ctg.fa", "asm.gfa", "sg.gfa", "contig.gfa2"):
+        assert read(os.path.join(tmp_my, fn)) == \
+            read(os.path.join(tmp_ref, fn)), "%s differs" % fn
