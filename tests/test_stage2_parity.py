@@ -105,13 +105,13 @@ def make_preads_ovl(tmp, G=80000, coverage=12, err=0.004, seed=5,
     return ovl_fn
 
 
-def run_reference(tmp, ovl_fn):
+def run_reference(tmp, ovl_fn, lfc=False):
     mod = ref_stage2.load_ref_ovlp_to_graph()
     cwd = os.getcwd()
     os.chdir(tmp)
     try:
         args = types.SimpleNamespace(
-            overlap_file=ovl_fn, min_len=4000, min_idt=96.0, lfc=False,
+            overlap_file=ovl_fn, min_len=4000, min_idt=96.0, lfc=lfc,
             disable_chimer_bridge_removal=False)
         mod.ovlp_to_graph(args)
         g2c = ref_stage2.load_ref_graph_to_contig()
@@ -120,9 +120,9 @@ def run_reference(tmp, ovl_fn):
         os.chdir(cwd)
 
 
-def run_mine(tmp, ovl_fn):
+def run_mine(tmp, ovl_fn, lfc=False):
     unitigs.ovlp_to_graph(ovl_fn, tmp, min_len=4000, min_idt=96.0,
-                          set_order_compat=True)
+                          lfc=lfc, set_order_compat=True)
     to_contig.run(tmp)
 
 
@@ -170,7 +170,7 @@ def _compare_all(tmp_ref, tmp_my, expect_chimers=False):
             read(os.path.join(tmp_ref, fn)), "%s differs" % fn
 
 
-def _run_case(tmp_path, reads=None, expect_chimers=False):
+def _run_case(tmp_path, reads=None, expect_chimers=False, lfc=False):
     import shutil
     tmp_ref = str(tmp_path / "ref")
     tmp_my = str(tmp_path / "mine")
@@ -181,8 +181,8 @@ def _run_case(tmp_path, reads=None, expect_chimers=False):
                 os.path.join(tmp_my, "preads.ovl"))
     shutil.copy(os.path.join(tmp_ref, "preads4falcon.fasta"),
                 os.path.join(tmp_my, "preads4falcon.fasta"))
-    run_reference(tmp_ref, os.path.join(tmp_ref, "preads.ovl"))
-    run_mine(tmp_my, os.path.join(tmp_my, "preads.ovl"))
+    run_reference(tmp_ref, os.path.join(tmp_ref, "preads.ovl"), lfc=lfc)
+    run_mine(tmp_my, os.path.join(tmp_my, "preads.ovl"), lfc=lfc)
     _compare_all(tmp_ref, tmp_my, expect_chimers=expect_chimers)
 
 
@@ -190,9 +190,20 @@ def test_stage2_byte_parity(tmp_path):
     _run_case(tmp_path)
 
 
+def test_stage2_byte_parity_lfc(tmp_path):
+    """--lfc mode (resolve_repeat_edges instead of mark_best_overlap,
+    reference ovlp_to_graph.py:323-409)."""
+    _run_case(tmp_path, lfc=True)
+
+
 @pytest.mark.slow
 def test_stage2_byte_parity_hard(tmp_path):
     _run_case(tmp_path, reads=make_reads_hard())
+
+
+@pytest.mark.slow
+def test_stage2_byte_parity_hard_lfc(tmp_path):
+    _run_case(tmp_path, reads=make_reads_hard(), lfc=True)
 
 
 def _ref_capture_main(mod, argv, out_fn, tmp):
