@@ -105,7 +105,7 @@ def make_preads_ovl(tmp, G=80000, coverage=12, err=0.004, seed=5,
     return ovl_fn
 
 
-def run_reference(tmp, ovl_fn, lfc=False):
+def run_reference(tmp, ovl_fn, lfc=False, improper=False, proper_a=False):
     mod = ref_stage2.load_ref_ovlp_to_graph()
     cwd = os.getcwd()
     os.chdir(tmp)
@@ -115,15 +115,15 @@ def run_reference(tmp, ovl_fn, lfc=False):
             disable_chimer_bridge_removal=False)
         mod.ovlp_to_graph(args)
         g2c = ref_stage2.load_ref_graph_to_contig()
-        g2c.run(improper_p_ctg=False, proper_a_ctg=False)
+        g2c.run(improper_p_ctg=improper, proper_a_ctg=proper_a)
     finally:
         os.chdir(cwd)
 
 
-def run_mine(tmp, ovl_fn, lfc=False):
+def run_mine(tmp, ovl_fn, lfc=False, improper=False, proper_a=False):
     unitigs.ovlp_to_graph(ovl_fn, tmp, min_len=4000, min_idt=96.0,
                           lfc=lfc, set_order_compat=True)
-    to_contig.run(tmp)
+    to_contig.run(tmp, improper_p_ctg=improper, proper_a_ctg=proper_a)
 
 
 def read(path):
@@ -170,7 +170,8 @@ def _compare_all(tmp_ref, tmp_my, expect_chimers=False):
             read(os.path.join(tmp_ref, fn)), "%s differs" % fn
 
 
-def _run_case(tmp_path, reads=None, expect_chimers=False, lfc=False):
+def _run_case(tmp_path, reads=None, expect_chimers=False, lfc=False,
+              improper=False, proper_a=False):
     import shutil
     tmp_ref = str(tmp_path / "ref")
     tmp_my = str(tmp_path / "mine")
@@ -181,8 +182,10 @@ def _run_case(tmp_path, reads=None, expect_chimers=False, lfc=False):
                 os.path.join(tmp_my, "preads.ovl"))
     shutil.copy(os.path.join(tmp_ref, "preads4falcon.fasta"),
                 os.path.join(tmp_my, "preads4falcon.fasta"))
-    run_reference(tmp_ref, os.path.join(tmp_ref, "preads.ovl"), lfc=lfc)
-    run_mine(tmp_my, os.path.join(tmp_my, "preads.ovl"), lfc=lfc)
+    run_reference(tmp_ref, os.path.join(tmp_ref, "preads.ovl"), lfc=lfc,
+                  improper=improper, proper_a=proper_a)
+    run_mine(tmp_my, os.path.join(tmp_my, "preads.ovl"), lfc=lfc,
+             improper=improper, proper_a=proper_a)
     _compare_all(tmp_ref, tmp_my, expect_chimers=expect_chimers)
 
 
@@ -194,6 +197,11 @@ def test_stage2_byte_parity_lfc(tmp_path):
     """--lfc mode (resolve_repeat_edges instead of mark_best_overlap,
     reference ovlp_to_graph.py:323-409)."""
     _run_case(tmp_path, lfc=True)
+
+
+def test_stage2_byte_parity_ctg_flags(tmp_path):
+    """--improper-p-ctg + --proper-a-ctg (graph_to_contig.py:420-424)."""
+    _run_case(tmp_path, improper=True, proper_a=True)
 
 
 @pytest.mark.slow
