@@ -147,6 +147,11 @@ class Pipeline:
             self.timings["phase0_overlap"] = time.time() - t_start
             records.write_overlaps(ovl_fn + ".tmp", recs, terminator=True)
             os.rename(ovl_fn + ".tmp", ovl_fn)
+        if self.p.target == "overlapping":
+            # reference: fc_run exits after stage-0 overlap for this
+            # target (run1.py:401-402)
+            LOG.info("phase0: target=overlapping; stopping after overlap")
+            return None
 
         # group by seed (LA4Falcon -H<cutoff> -fo semantics: A-read is the
         # seed; B reads are supports, RC'd onto the seed's strand)
@@ -154,7 +159,8 @@ class Pipeline:
         ccfg = cns_runner.ConsensusConfig.from_option_string(
             p.falcon_sense_option)
 
-        n_core = ccfg.n_core if ccfg.n_core > 0 else (os.cpu_count() or 1)
+        n_core = ccfg.n_core if ccfg.n_core > 0 else \
+            (p.cns_nproc or os.cpu_count() or 1)
         use_dev_cns = (self.p.use_device and
                        os.environ.get("FTPU_CNS_DEVICE", "1") != "0" and
                        self._aligner() is not None)
@@ -214,7 +220,12 @@ class Pipeline:
             return None
         seed_seq = store.get_seq(rid)
         out = [(seed_id, seed_seq, None)]
+        skip_contained = self.p.skip_contained
         for o in ovls:
+            if skip_contained and o.klass == records.CONTAINS:
+                # falcon_sense_skip_contained: LA4Falcon -s drops supports
+                # contained in the seed (reference bash.py:350-351)
+                continue
             b_rid = int(o.b_id)
             codes = store.get_codes(b_rid)
             if o.b_strand == 1:
@@ -318,8 +329,14 @@ class Pipeline:
                 prof = None
         try:
             preads = self.phase0()
-            ovl = self.phase1(preads)
-            p_ctg = self.phase2(ovl)
+            if preads is None or self.p.target == "pre-assembly":
+                # reference: stop after stage 0 (run1.py:401-402,485-486)
+                if self.p.target == "pre-assembly":
+                    LOG.info("target=pre-assembly; quitting after stage-0")
+                p_ctg = preads
+            else:
+                ovl = self.phase1(preads)
+                p_ctg = self.phase2(ovl)
         finally:
             if prof is not None:
                 prof.stop_trace()
