@@ -80,25 +80,35 @@ class Pipeline:
 
     def _overlap_store(self, store, params, tag):
         """All-vs-all overlap across the store's blocks; returns the
-        symmetric record list (the .las-merge equivalent, in RAM)."""
+        symmetric record list (the .las-merge equivalent, in RAM).
+
+        Multi-host: each process runs its round-robin stripe of the
+        block-pair triangle on its local devices, then ONE all-gather
+        recombines the table on every host (parallel.distributed; the
+        reference's per-pair cluster jobs + LAmerge tree,
+        falcon_kit/mains/dazzler.py:559-574, collapsed to a collective).
+        """
+        from ..parallel import distributed
         blocks = store.blocks or store.split_blocks()
         aligner = self._aligner()
         all_ovls = []
+        host_id, n_hosts = distributed.init_distributed()
+        pairs = distributed.host_block_pairs(len(blocks), host_id, n_hosts)
         n_pairs = len(blocks) * (len(blocks) + 1) // 2
-        k = 0
-        for i in range(len(blocks)):
-            for j in range(i, len(blocks)):
-                k += 1
-                t0 = time.time()
-                ovls = engine.overlap_blocks(
-                    store, blocks[i], blocks[j], params, aligner=aligner,
-                    same_block=(i == j))
-                if i != j:
-                    # the (j, i) comparison is implied by symmetry
-                    pass
-                all_ovls.extend(ovls)
-                LOG.info("%s: block (%d,%d) %d/%d: %d overlaps in %.1fs",
-                         tag, i, j, k, n_pairs, len(ovls), time.time() - t0)
+        for k, (i, j) in enumerate(pairs):
+            t0 = time.time()
+            # the (j, i) comparison is implied by symmetry
+            ovls = engine.overlap_blocks(
+                store, blocks[i], blocks[j], params, aligner=aligner,
+                same_block=(i == j))
+            all_ovls.extend(ovls)
+            LOG.info("%s: block (%d,%d) %d/%d of %d: %d overlaps in %.1fs",
+                     tag, i, j, k + 1, len(pairs), n_pairs, len(ovls),
+                     time.time() - t0)
+        if n_hosts > 1:
+            lines = distributed.allgather_lines(
+                [o.to_line() for o in all_ovls])
+            all_ovls = [records.Overlap.from_line(l) for l in lines]
         return engine.emit_symmetric(all_ovls)
 
     # -- phase 0: raw reads -> preads --------------------------------------
