@@ -59,13 +59,18 @@ def _kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
 
     o_base = SB * sb - W // 2   # o at the first (odd) step of this block
 
-    def do_step(s_off, o_rel, rel_q, rel_t, d1, prev_ref, prev2cur_ref):
+    def do_step(s_off, o_rel, rel_q, rel_t, d1, prev_ref, prev2cur_ref,
+                fast):
         """One anti-diagonal.  s = 2*SB*sb + s_off; o = o_base + o_rel.
-        All slice offsets (rel_q, rel_t, d1) are python ints."""
+        All slice offsets (rel_q, rel_t, d1) are python ints.
+
+        fast=True drops the DP-boundary writes and the i>=0 / j>=0 mask
+        terms: an i==0 lane needs o <= 0 (s <= W+1) and a j==0 lane needs
+        s <= W-2, so any super-block whose first step exceeds W+1 can
+        never touch row/column 0 of the DP matrix -- and there o >= 1
+        makes i >= 1 and min(j) = ceil(s/2) - W/2 + 1 >= 2 for free."""
         o = o_base + o_rel
         s = 2 * SB * sb + s_off
-        i = o + lanes
-        j = s - i
 
         up = prev_ref[:, 2 + d1:2 + d1 + W]
         left = prev_ref[:, 1 + d1:1 + d1 + W]
@@ -79,12 +84,20 @@ def _kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
         sub = jnp.minimum(d * d, jnp.int32(1))
 
         cand = jnp.minimum(jnp.minimum(up, left) + jnp.int32(1), diag + sub)
-        # DP boundary rows/cols (values clipped into int16 range)
-        bnd_j = jnp.minimum(j, INF32)
-        bnd_i = jnp.minimum(i, INF32)
-        cand = jnp.where(i == 0, bnd_j, cand)
-        cand = jnp.where(j == 0, bnd_i, cand)
-        valid = (i >= 0) & (i <= qlen) & (j >= 0) & (j <= tlen)
+        if fast:
+            # i <= qlen  <=>  lanes <= qlen - o;  j <= tlen  <=>
+            # lanes >= (s - o) - tlen  (both rhs are [BT, 1] columns)
+            valid = ((lanes <= qlen - jnp.int32(o)) &
+                     (lanes >= jnp.int32(s - o) - tlen))
+        else:
+            i = o + lanes
+            j = s - i
+            # DP boundary rows/cols (values clipped into int16 range)
+            bnd_j = jnp.minimum(j, INF32)
+            bnd_i = jnp.minimum(i, INF32)
+            cand = jnp.where(i == 0, bnd_j, cand)
+            cand = jnp.where(j == 0, bnd_i, cand)
+            valid = (i >= 0) & (i <= qlen) & (j >= 0) & (j <= tlen)
         cur = jnp.where(valid, jnp.minimum(cand, INF32), INF32)
 
         # boundary cells (i == qlen or j == tlen) can only exist in this
@@ -92,6 +105,8 @@ def _kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
         # whole tracking block otherwise (scalar-guarded, big step saving)
         @pl.when((o + W >= min_q) | (s - o >= min_t))
         def _track():
+            i = o + lanes
+            j = s - i
             at_end = valid & ((i == qlen) | (j == tlen)) & (cur < INF32)
             score = jnp.where(at_end,
                               (i + j) - end_bonus * cur,
@@ -113,11 +128,27 @@ def _kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
 
         prev2cur_ref[:, 2:2 + W] = cur
 
-    for m in range(SB):
-        # odd step s = 2*SB*sb + 2m + 1: o_rel = m; (d1, d2) = (0, 1)
-        do_step(2 * m + 1, m, m, SB - m, 0, carry0_ref, carry1_ref)
-        # even step: o_rel = m + 1; (d1, d2) = (1, 1)
-        do_step(2 * m + 2, m + 1, m + 1, SB - m, 1, carry1_ref, carry0_ref)
+    def steps(fast):
+        for m in range(SB):
+            # odd step s = 2*SB*sb + 2m + 1: o_rel = m; (d1, d2) = (0, 1)
+            do_step(2 * m + 1, m, m, SB - m, 0, carry0_ref, carry1_ref,
+                    fast)
+            # even step: o_rel = m + 1; (d1, d2) = (1, 1)
+            do_step(2 * m + 2, m + 1, m + 1, SB - m, 1, carry1_ref,
+                    carry0_ref, fast)
+
+    # super-blocks whose first step s0 = 2*SB*sb + 1 <= W + 1 may touch
+    # DP row/column 0 and need the guarded body; the rest take the lean
+    # path (for W=256, SB=8 that is 17 of L/SB super-blocks)
+    NBB = W // (2 * SB) + 1
+
+    @pl.when(sb < NBB)
+    def _boundary_blocks():
+        steps(fast=False)
+
+    @pl.when(sb >= NBB)
+    def _interior_blocks():
+        steps(fast=True)
 
     found = best_ref[:, 0] > NEG_INF32
     bi_ref[:, 0] = jnp.where(found, best_ref[:, 1], 0)
@@ -125,12 +156,16 @@ def _kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
     bd_ref[:, 0] = jnp.where(found, best_ref[:, 3], 0)
 
 
-@functools.partial(jax.jit, static_argnames=("W", "end_bonus", "block_b"))
-def extend_batch_pallas(q, qlen, t, tlen, W=256, end_bonus=3, block_b=256):
+@functools.partial(jax.jit, static_argnames=("W", "end_bonus", "block_b",
+                                              "interpret"))
+def extend_batch_pallas(q, qlen, t, tlen, W=256, end_bonus=3, block_b=256,
+                        interpret=False):
     """Same contract as align_device.extend_batch_device (int8 inputs).
 
     q: [B, L] int8 codes (pad 4); t: [B, L] int8 codes (pad 5).
     B must be a multiple of block_b; L a multiple of 64.
+    interpret=True runs the kernel in pallas interpret mode (CPU parity
+    tests; mosaic is TPU-only).
     """
     B, L = q.shape
     assert t.shape == (B, L)
@@ -203,5 +238,6 @@ def extend_batch_pallas(q, qlen, t, tlen, W=256, end_bonus=3, block_b=256):
             pltpu.VMEM((block_b, W + 4), jnp.int32),
             pltpu.VMEM((block_b, 4), jnp.int32),
         ],
+        interpret=interpret,
     )(qwin, twin, qlen2, tlen2, minlen)
     return bi[:, 0], bj[:, 0], bd[:, 0]
