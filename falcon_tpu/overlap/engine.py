@@ -368,7 +368,7 @@ def extend_pairs_host(store, index, rids_a, cands, params):
         a_len = len(a_codes)
         if aln_len < params.min_overlap:
             continue
-        idt = 100.0 * (1.0 - dist / max(1, aln_len))
+        idt = R.canonical_idt(dist, aln_len)
         if idt < 100.0 * params.min_idt:
             continue
         # convert b coords to forward strand
@@ -515,7 +515,7 @@ def make_device_aligner(W=512, end_bonus=3, max_batch=512):
             aln_len = ((a_e - a_s) + (b_e - b_s)) // 2
             if aln_len < params.min_overlap:
                 continue
-            idt = 100.0 * (1.0 - dist / max(1, aln_len))
+            idt = R.canonical_idt(dist, aln_len)
             if idt < 100.0 * params.min_idt:
                 continue
             if strand == 1:
@@ -544,5 +544,10 @@ def emit_symmetric(overlaps):
             o.b_id, o.a_id, o.score, o.idt, 0, o.b_start, o.b_end, o.b_len,
             o.b_strand, o.a_start, o.a_end, o.a_len,
             flips.get(o.klass, o.klass)))
-    all_recs.sort(key=lambda o: (o.a_id, o.b_id))
+    # full-field key: the table order (and therefore every downstream
+    # artifact) is identical no matter how records arrive -- single-host
+    # plan order or multi-host gather order
+    all_recs.sort(key=lambda o: (
+        o.a_id, o.b_id, o.score, o.idt, o.a_start, o.a_end,
+        o.b_strand, o.b_start, o.b_end, o.klass))
     return all_recs

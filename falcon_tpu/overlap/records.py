@@ -16,6 +16,17 @@ overlap / contains / contained / none.
 """
 from dataclasses import dataclass
 
+def canonical_idt(dist, aln_len):
+    """Percent identity, pre-rounded to the 2-decimal form `%.2f` emits.
+
+    Records carry idt in canonical form from creation so that a record
+    round-tripped through its text line (e.g. the multi-host gather)
+    compares equal to one that never left RAM -- min_idt filter decisions
+    and sort keys cannot diverge between the two paths.
+    """
+    return round(100.0 * (1.0 - dist / max(1, aln_len)), 2)
+
+
 OVERLAP = "overlap"
 CONTAINS = "contains"
 CONTAINED = "contained"

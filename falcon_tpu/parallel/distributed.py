@@ -27,23 +27,59 @@ import numpy as np
 LOG = logging.getLogger(__name__)
 
 
+_INIT_TRIED = False
+
+
+def want_distributed():
+    """Whether this process was launched as part of a multi-host job.
+
+    Decided from env-var presence ALONE -- calling any jax API first
+    would initialize the backends and make jax.distributed.initialize
+    impossible (it must run before any other JAX call).
+    """
+    return bool(os.environ.get("FTPU_COORDINATOR_ADDRESS"))
+
+
 def init_distributed():
     """Initialize the jax.distributed runtime when launched multi-host.
 
-    Reads the standard coordinator env vars; a no-op when absent or when
-    already initialized, so single-host runs never pay for it.
+    MUST be called before any other JAX call (jax.devices(), jit, ...);
+    the pipeline driver calls it at startup for exactly that reason.
+    Single-host runs (no FTPU_COORDINATOR_ADDRESS) never pay for it.
     Returns (process_index, process_count).
+
+    A failed initialize in a process that WAS asked to join a multi-host
+    job raises: silently degrading to n_hosts=1 would make every host
+    redundantly compute the full block-pair triangle and skip the gather.
     """
-    import jax
+    global _INIT_TRIED
     coord = os.environ.get("FTPU_COORDINATOR_ADDRESS")
-    if coord and jax.process_count() == 1:
+    if coord and not _INIT_TRIED:
+        _INIT_TRIED = True
+        import jax
+        num = int(os.environ["FTPU_NUM_PROCESSES"])
+        pid = int(os.environ["FTPU_PROCESS_ID"])
         try:
             jax.distributed.initialize(
-                coordinator_address=coord,
-                num_processes=int(os.environ["FTPU_NUM_PROCESSES"]),
-                process_id=int(os.environ["FTPU_PROCESS_ID"]))
-        except RuntimeError:
-            pass  # already initialized by the launcher
+                coordinator_address=coord, num_processes=num,
+                process_id=pid)
+            LOG.info("jax.distributed initialized: process %d/%d via %s",
+                     pid, num, coord)
+        except RuntimeError as e:
+            # jax.distributed.initialize raises if the runtime is already
+            # up (a launcher wrapper did it) -- fine -- or if some other
+            # JAX call beat us to backend init -- NOT fine.
+            if jax.process_count() == num:
+                LOG.info("jax.distributed already initialized (%d procs)",
+                         num)
+            else:
+                LOG.error(
+                    "jax.distributed.initialize failed (%s) and "
+                    "process_count=%d != FTPU_NUM_PROCESSES=%d; "
+                    "init_distributed() must run before any other JAX "
+                    "call", e, jax.process_count(), num)
+                raise
+    import jax
     return jax.process_index(), jax.process_count()
 
 
@@ -95,9 +131,14 @@ def allgather_lines(lines):
 def _allgather_ragged_1d(local):
     """All-gather ragged 1-D arrays; returns the per-host list."""
     from jax.experimental import multihost_utils
-    n_local = np.array([local.shape[0]], dtype=np.int64)
-    counts = np.asarray(multihost_utils.process_allgather(n_local)
-                        ).reshape(-1)
+    # lengths travel as (lo, hi) uint32 words: process_allgather silently
+    # downcasts int64 to int32 under jax_enable_x64=False, and a byte
+    # buffer can legitimately exceed 2^31 at scale
+    n = int(local.shape[0])
+    n_local = np.array([n & 0xFFFFFFFF, n >> 32], dtype=np.uint32)
+    words = np.asarray(multihost_utils.process_allgather(n_local),
+                       dtype=np.uint64).reshape(-1, 2)
+    counts = (words[:, 0] | (words[:, 1] << np.uint64(32))).astype(np.int64)
     cap = max(1, int(counts.max()))
     padded = np.zeros((cap,), dtype=local.dtype)
     padded[:local.shape[0]] = local
@@ -113,26 +154,23 @@ def allgather_records(local_rows, n_cols, dtype=np.int64):
     host returns the identical concatenated (N_total, n_cols) array,
     ordered by host id.  Single-process: returns local_rows unchanged.
 
-    Uses one max-size padded all-gather (multihost_utils) -- overlap
-    tables are tiny next to the alignment traffic (tens of MB for E. coli)
-    so padding waste is irrelevant; one collective beats per-host
-    point-to-point plumbing.
+    The gather rides the raw-byte (uint8) path: multihost_utils would
+    silently downcast an int64 payload to int32 under the default
+    jax_enable_x64=False, truncating values >= 2^31; reinterpreting the
+    row bytes sidesteps dtype coercion entirely.
     """
     import jax
+    local = np.ascontiguousarray(
+        np.asarray(local_rows, dtype=dtype).reshape(-1, n_cols))
     if jax.process_count() == 1:
-        return np.asarray(local_rows, dtype=dtype).reshape(-1, n_cols)
-    from jax.experimental import multihost_utils
-    local = np.asarray(local_rows, dtype=dtype).reshape(-1, n_cols)
-    n_local = np.array([local.shape[0]], dtype=np.int64)
-    counts = np.asarray(multihost_utils.process_allgather(n_local)
-                        ).reshape(-1)
-    cap = int(counts.max())
-    padded = np.zeros((cap, n_cols), dtype=dtype)
-    padded[:local.shape[0]] = local
-    gathered = np.asarray(multihost_utils.process_allgather(padded))
-    gathered = gathered.reshape(len(counts), cap, n_cols)
-    out = np.concatenate([gathered[h, :int(counts[h])]
-                          for h in range(len(counts))], axis=0)
-    LOG.info("allgather_records: %d hosts, %s local -> %d total rows",
-             len(counts), counts.tolist(), out.shape[0])
+        return local
+    itemsize = np.dtype(dtype).itemsize
+    gathered = _allgather_ragged_1d(local.view(np.uint8).reshape(-1))
+    parts = [np.ascontiguousarray(b).view(dtype).reshape(-1, n_cols)
+             for b in gathered]
+    out = np.concatenate(parts, axis=0) if parts else local[:0]
+    LOG.info("allgather_records: %d hosts, %s local rows -> %d total",
+             len(parts),
+             [p.shape[0] for p in parts], out.shape[0])
+    assert out.dtype == np.dtype(dtype) and itemsize * n_cols
     return out

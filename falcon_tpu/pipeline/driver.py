@@ -35,6 +35,12 @@ def _done(path):
 
 class Pipeline:
     def __init__(self, cfg_path, out_dir=".", use_device=None):
+        # multi-host participation must be decided and initialized BEFORE
+        # any other JAX call (jax.distributed.initialize refuses to run
+        # once the backends are up); single-host runs skip this entirely
+        from ..parallel import distributed
+        if distributed.want_distributed():
+            distributed.init_distributed()
         self.cfg = config_mod.parse_cfg_file(cfg_path)
         self.p = config_mod.StageParams(self.cfg)
         if use_device is not None:

@@ -52,7 +52,10 @@ def maxrss_mb():
     except ImportError:  # non-posix
         return 0.0
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-    # linux reports KB
+    # ru_maxrss is KB on Linux but bytes on macOS
+    import sys
+    if sys.platform == "darwin":
+        return rss / (1024.0 * 1024.0)
     return rss / 1024.0
 
 
