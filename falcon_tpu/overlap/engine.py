@@ -29,6 +29,7 @@ import numpy as np
 from ..io.readstore import revcomp_codes
 from ..ops import align as _align
 from . import records as R
+from . import table as T
 
 LOG = logging.getLogger(__name__)
 
@@ -251,8 +252,9 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
                    same_block=None):
     """Overlap all reads of block A against block B.
 
-    Returns a list of Overlap records: one per (a, b, strand) candidate
-    that aligns, A-side only (call emit_symmetric for the mirror records).
+    Returns a columnar overlap table (overlap.table structured array):
+    one row per (a, b, strand) candidate that aligns, A-side only (call
+    emit_symmetric for the mirror records).
     same_block: skip a>=b self/dup pairs (defaults to rids_a is rids_b).
     """
     params = params or OverlapParams()
@@ -325,13 +327,13 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
         qflat, tflat, strand = index.match(keys, ok)
         strand = strand.astype(np.int64)
         if len(qflat) == 0:
-            return []
+            return T.empty(0)
         a_idx = np.searchsorted(a_offsets, qflat, side="right") - 1
         qpos = qflat - a_offsets[a_idx]
         b_idx = np.searchsorted(index.offsets, tflat, side="right") - 1
         tpos = tflat - index.offsets[b_idx]
     if len(a_idx) == 0:
-        return []
+        return T.empty(0)
 
     # drop self-pairs / duplicate unordered pairs within one block
     if same_block:
@@ -352,8 +354,9 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
 
 
 def extend_pairs_host(store, index, rids_a, cands, params):
-    """Anchor -> full overlap via two banded O(ND) extensions (host)."""
-    out = []
+    """Anchor -> full overlap via two banded O(ND) extensions (host).
+    Returns a columnar overlap table (overlap.table)."""
+    rows = []
     for (ai, bi, strand, qa, ta, n_seeds) in cands:
         a_rid = int(rids_a[ai])
         b_rid = int(index.rids[bi])
@@ -365,23 +368,17 @@ def extend_pairs_host(store, index, rids_a, cands, params):
         if o is None:
             continue
         (a_s, a_e, b_s, b_e, dist, aln_len) = o
-        a_len = len(a_codes)
-        if aln_len < params.min_overlap:
-            continue
-        idt = R.canonical_idt(dist, aln_len)
-        if idt < 100.0 * params.min_idt:
-            continue
         # convert b coords to forward strand
         if strand == 1:
             b_s, b_e = blen - b_e, blen - b_s
-        klass = R.classify(strand, a_s, a_e, a_len, b_s, b_e, blen)
-        if klass == R.NONE:
-            continue
-        score = -(a_e - a_s)
-        out.append(R.Overlap("%09d" % a_rid, "%09d" % b_rid, score, idt,
-                             0, a_s, a_e, a_len, strand, b_s, b_e, blen,
-                             klass))
-    return out
+        rows.append((a_rid, b_rid, strand, a_s, a_e, len(a_codes),
+                     b_s, b_e, blen, dist))
+    if not rows:
+        return T.empty(0)
+    c = np.asarray(rows, dtype=np.int64)
+    return T.finalize(c[:, 0], c[:, 1], c[:, 2], c[:, 3], c[:, 4],
+                      c[:, 5], c[:, 6], c[:, 7], c[:, 8], c[:, 9],
+                      params.min_overlap, params.min_idt)
 
 
 def _host_align(q, t, band, want_strings):
@@ -481,17 +478,12 @@ def make_device_aligner(W=512, end_bonus=3, max_batch=512):
 
     def aligner(store, index, rids_a, cands, params):
         if not cands:
-            return []
+            return T.empty(0)
         import jax
         if len(jax.devices()) == 1:
             res = _specs_path(store, index, rids_a, cands, params)
-            meta = [(ai, bi, strand, qa, ta,
-                     int(store.lengths[int(rids_a[ai])]),
-                     int(index.lens[bi]))
-                    for (ai, bi, strand, qa, ta, _) in cands]
         else:
             tasks = []
-            meta = []
             for (ai, bi, strand, qa, ta, n_seeds) in cands:
                 a_rid = int(rids_a[ai])
                 a_codes = store.get_codes(a_rid)
@@ -502,40 +494,39 @@ def make_device_aligner(W=512, end_bonus=3, max_batch=512):
                 tasks.append((a_codes[qa:], b_codes[ta:]))            # fwd
                 tasks.append((a_codes[:qa][::-1],
                               b_codes[:ta][::-1]))                    # bwd
-                meta.append((ai, bi, strand, qa, ta, len(a_codes), blen))
             res = ext.run(tasks)
-        out = []
-        for m, k in zip(meta, range(0, len(res), 2)):
-            ai, bi, strand, qa, ta, a_len, blen = m
-            fi, fj, fd = res[k]
-            bi_, bj_, bd_ = res[k + 1]
-            a_s, b_s = qa - bi_, ta - bj_
-            a_e, b_e = qa + fi, ta + fj
-            dist = fd + bd_
-            aln_len = ((a_e - a_s) + (b_e - b_s)) // 2
-            if aln_len < params.min_overlap:
-                continue
-            idt = R.canonical_idt(dist, aln_len)
-            if idt < 100.0 * params.min_idt:
-                continue
-            if strand == 1:
-                b_s, b_e = blen - b_e, blen - b_s
-            klass = R.classify(strand, a_s, a_e, a_len, b_s, b_e, blen)
-            if klass == R.NONE:
-                continue
-            a_rid = int(rids_a[ai])
-            b_rid = int(index.rids[bi])
-            out.append(R.Overlap("%09d" % a_rid, "%09d" % b_rid,
-                                 -(a_e - a_s), idt, 0, a_s, a_e, a_len,
-                                 strand, b_s, b_e, blen, klass))
-        return out
+        # vectorized record emission over the whole candidate set
+        c = np.asarray(cands, dtype=np.int64)          # [N, 6]
+        r = np.asarray(res, dtype=np.int64).reshape(len(c), 2, 3)
+        ai, bi, strand, qa, ta = c[:, 0], c[:, 1], c[:, 2], c[:, 3], c[:, 4]
+        a_len = np.asarray(store.lengths, np.int64)[
+            np.asarray(rids_a, np.int64)[ai]]
+        blen = np.asarray(index.lens, np.int64)[bi]
+        a_s = qa - r[:, 1, 0]
+        b_s = ta - r[:, 1, 1]
+        a_e = qa + r[:, 0, 0]
+        b_e = ta + r[:, 0, 1]
+        dist = r[:, 0, 2] + r[:, 1, 2]
+        rev = strand == 1
+        b_s2 = np.where(rev, blen - b_e, b_s)
+        b_e2 = np.where(rev, blen - b_s, b_e)
+        return T.finalize(
+            np.asarray(rids_a, np.int64)[ai], index.rids[bi], strand,
+            a_s, a_e, a_len, b_s2, b_e2, blen, dist,
+            params.min_overlap, params.min_idt)
 
     return aligner
 
 
 def emit_symmetric(overlaps):
     """For each record, also emit the mirrored (b, a) record; returns all
-    records sorted by (a_id, b_id) for a stable table."""
+    records in canonical full-field sort order.
+
+    Columnar tables (overlap.table structured arrays) take the vectorized
+    path; lists of records.Overlap keep the legacy object path (tests,
+    text interop)."""
+    if isinstance(overlaps, np.ndarray):
+        return T.emit_symmetric(overlaps)
     all_recs = []
     flips = {R.CONTAINS: R.CONTAINED, R.CONTAINED: R.CONTAINS}
     for o in overlaps:

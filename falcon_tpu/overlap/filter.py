@@ -124,6 +124,87 @@ def filter_stage3(readlines, max_diff, max_ovlp, min_ovlp, min_len,
     return out
 
 
+def filter_table(out_f, tbl, max_diff, max_cov, min_cov, min_len, bestn):
+    """The three filter stages over a columnar overlap table
+    (overlap.table structured array), vectorized.
+
+    Stages 1-2 are pure column math over the whole table at once -- the
+    scalable replacement for the reference's per-.las Pool fan-out
+    (reference: ovlp_filter.py:194-232); stage 3 sorts/emits per
+    surviving read group with the exact tuple semantics of the text path
+    (including string-field tie comparison), so output is byte-identical
+    to run_ovlp_filter fed the same records as text.
+    """
+    import numpy as np
+    from . import table as T
+    if len(tbl) == 0:
+        out_f.write("---\n")
+        return
+    a_id = tbl["a_id"]
+    b_id = tbl["b_id"]
+    base = ((tbl["idt_cp"] >= 9000) & (tbl["a_len"] >= min_len) &
+            (tbl["b_len"] >= min_len))
+    max_id = int(max(a_id.max(), b_id.max())) + 1
+
+    # stage 1: per-read 5'/3' coverage symmetry -> ignore set
+    starts = np.flatnonzero(np.r_[True, a_id[1:] != a_id[:-1]])
+    gids = a_id[starts]
+    left = np.add.reduceat(
+        (base & (tbl["a_start"] == 0)).astype(np.int64), starts)
+    right = np.add.reduceat(
+        (base & (tbl["a_end"] == tbl["a_len"])).astype(np.int64), starts)
+    ign = ((np.abs(left - right) > max_diff) | (left > max_cov) |
+           (right > max_cov) | (left < min_cov) | (right < min_cov))
+    ignore = np.zeros(max_id, dtype=bool)
+    ignore[gids[ign]] = True
+
+    # stage 2: contained reads (given the ignore set)
+    ok2 = base & ~ignore[a_id] & ~ignore[b_id]
+    contained = np.zeros(max_id, dtype=bool)
+    contained[a_id[ok2 & (tbl["klass"] == T.CONTAINED)]] = True
+    contained[b_id[ok2 & (tbl["klass"] == T.CONTAINS)]] = True
+
+    # stage 3: best-n per read end, quirky emission loop preserved
+    live = (base & ~ignore[a_id] & ~ignore[b_id] &
+            ~contained[a_id] & ~contained[b_id])
+    is5 = live & (tbl["a_start"] == 0)
+    is3 = live & ~is5 & (tbl["a_end"] == tbl["a_len"])
+    idxs = np.flatnonzero(is5 | is3)
+    if len(idxs) == 0:
+        out_f.write("---\n")
+        return
+    ga = a_id[idxs]
+    gstarts = np.flatnonzero(np.r_[True, ga[1:] != ga[:-1]]).tolist()
+    gstarts.append(len(idxs))
+    score = tbl["score"][idxs]
+    m_range = (tbl["b_len"].astype(np.int64) -
+               (tbl["b_end"].astype(np.int64) -
+                tbl["b_start"].astype(np.int64)))[idxs]
+    five = is5[idxs]
+
+    def emit(cands):
+        # cands: [(score, m_range, fields)] -- same tuples as the text
+        # path's stage 3, so sort order (incl. string-field ties) and the
+        # emit-then-break quirk are identical
+        cands.sort()
+        for i, (s, m, fields) in enumerate(cands):
+            out_f.write(" ".join(fields) + "\n")
+            if i >= bestn and m > 1000:
+                break
+
+    for g in range(len(gstarts) - 1):
+        lo, hi = gstarts[g], gstarts[g + 1]
+        for end_is_5 in (True, False):
+            cands = []
+            for k in range(lo, hi):
+                if bool(five[k]) is not end_is_5:
+                    continue
+                cands.append((int(score[k]), int(m_range[k]),
+                              T.format_line(tbl[idxs[k]]).split()))
+            emit(cands)
+    out_f.write("---\n")
+
+
 def run_ovlp_filter(out_f, block_streams, max_diff, max_cov, min_cov,
                     min_len, bestn):
     """Run all three stages over per-block overlap streams and write the

@@ -147,6 +147,23 @@ def _allgather_ragged_1d(local):
     return [gathered[h, :int(counts[h])] for h in range(len(counts))]
 
 
+def allgather_table(tbl):
+    """All-gather a columnar overlap table (overlap.table structured
+    array) over DCN via the raw-byte path.  Every host returns the same
+    concatenated table, ordered by host id; single-process: identity."""
+    import jax
+    if jax.process_count() == 1:
+        return tbl
+    dt = tbl.dtype
+    gathered = _allgather_ragged_1d(
+        np.ascontiguousarray(tbl).view(np.uint8).reshape(-1))
+    parts = [np.ascontiguousarray(b).view(dt) for b in gathered]
+    out = np.concatenate(parts) if parts else tbl[:0]
+    LOG.info("allgather_table: %d hosts, %s local rows -> %d total",
+             len(parts), [len(p) for p in parts], len(out))
+    return out
+
+
 def allgather_records(local_rows, n_cols, dtype=np.int64):
     """All-gather each host's overlap-record rows over DCN.
 

@@ -24,6 +24,7 @@ from ..graph.collect_gfa import collect_contig_gfa, collect_pread_gfa
 from ..graph.gfa import deserialize_gfa
 from ..io import fasta, readstore
 from ..overlap import engine, filter as ofilter, records
+from ..overlap import table as otable
 from . import stats as stats_mod
 
 LOG = logging.getLogger(__name__)
@@ -86,18 +87,21 @@ class Pipeline:
 
     def _overlap_store(self, store, params, tag):
         """All-vs-all overlap across the store's blocks; returns the
-        symmetric record list (the .las-merge equivalent, in RAM).
+        symmetric columnar overlap table (the .las-merge equivalent,
+        in RAM as ONE structured array -- see overlap.table).
 
         Multi-host: each process runs its round-robin stripe of the
-        block-pair triangle on its local devices, then ONE all-gather
-        recombines the table on every host (parallel.distributed; the
-        reference's per-pair cluster jobs + LAmerge tree,
-        falcon_kit/mains/dazzler.py:559-574, collapsed to a collective).
+        block-pair triangle on its local devices, then ONE raw-byte
+        all-gather recombines the table on every host
+        (parallel.distributed; the reference's per-pair cluster jobs +
+        LAmerge tree, falcon_kit/mains/dazzler.py:559-574, collapsed to
+        a collective).  The canonical full-field sort makes the gathered
+        table identical to a single-host run's.
         """
         from ..parallel import distributed
         blocks = store.blocks or store.split_blocks()
         aligner = self._aligner()
-        all_ovls = []
+        chunks = []
         host_id, n_hosts = distributed.init_distributed()
         pairs = distributed.host_block_pairs(len(blocks), host_id, n_hosts)
         n_pairs = len(blocks) * (len(blocks) + 1) // 2
@@ -107,15 +111,14 @@ class Pipeline:
             ovls = engine.overlap_blocks(
                 store, blocks[i], blocks[j], params, aligner=aligner,
                 same_block=(i == j))
-            all_ovls.extend(ovls)
+            chunks.append(ovls)
             LOG.info("%s: block (%d,%d) %d/%d of %d: %d overlaps in %.1fs",
                      tag, i, j, k + 1, len(pairs), n_pairs, len(ovls),
                      time.time() - t0)
+        tbl = otable.concat(chunks)
         if n_hosts > 1:
-            lines = distributed.allgather_lines(
-                [o.to_line() for o in all_ovls])
-            all_ovls = [records.Overlap.from_line(l) for l in lines]
-        return engine.emit_symmetric(all_ovls)
+            tbl = distributed.allgather_table(tbl)
+        return engine.emit_symmetric(tbl)
 
     # -- phase 0: raw reads -> preads --------------------------------------
     def phase0(self):
@@ -154,14 +157,13 @@ class Pipeline:
         if _done(ovl_fn):
             # resume: the overlap table is phase0's mid-phase checkpoint
             LOG.info("phase0: %s exists; skipping overlap", ovl_fn)
-            recs = [records.Overlap.from_fields(f)
-                    for f in records.read_overlap_lines(ovl_fn)]
+            recs = otable.read_table(ovl_fn)
             self.timings["phase0_overlap"] = 0.0
         else:
             recs = self._overlap_store(store, self._engine_params(0),
                                        "phase0")
             self.timings["phase0_overlap"] = time.time() - t_start
-            records.write_overlaps(ovl_fn + ".tmp", recs, terminator=True)
+            otable.write_table(ovl_fn + ".tmp", recs, terminator=True)
             os.rename(ovl_fn + ".tmp", ovl_fn)
         if self.p.target == "overlapping":
             # reference: fc_run exits after stage-0 overlap for this
@@ -182,19 +184,16 @@ class Pipeline:
                        self._aligner() is not None)
 
         def groups():
-            cur_seed = None
-            cur = []
-            for o in recs:
-                if o.a_id != cur_seed:
-                    if cur_seed is not None:
-                        yield self._make_group(store, cur_seed, cur,
-                                               cutoff, as_codes=use_dev_cns)
-                    cur_seed = o.a_id
-                    cur = []
-                cur.append(o)
-            if cur_seed is not None:
-                yield self._make_group(store, cur_seed, cur, cutoff,
-                                       as_codes=use_dev_cns)
+            a_ids = recs["a_id"]
+            if len(recs) == 0:
+                return
+            starts = np.flatnonzero(
+                np.r_[True, a_ids[1:] != a_ids[:-1]]).tolist()
+            starts.append(len(recs))
+            for gi in range(len(starts) - 1):
+                yield self._make_group(
+                    store, recs[starts[gi]:starts[gi + 1]], cutoff,
+                    as_codes=use_dev_cns)
         with open(preads_fn + ".tmp", "w") as out:
             live = (g for g in groups() if g is not None)
             if use_dev_cns:
@@ -221,9 +220,10 @@ class Pipeline:
             LOG.exception("phase0: stats report failed (non-fatal)")
         return preads_fn
 
-    def _make_group(self, store, seed_id, ovls, cutoff, as_codes=False):
+    def _make_group(self, store, rows, cutoff, as_codes=False):
         """(seed_id, [(read_id, seq, rng), ...]) with the seed first.
 
+        rows: one seed's slice of the columnar overlap table.
         rng = (s1, e1, s2, e2): the support/seed alignment range from the
         overlap record, on the seed's strand (the device consensus path
         reuses these instead of re-seeding; reference fc_consensus gets
@@ -231,26 +231,29 @@ class Pipeline:
         as_codes: supports stay uint8 code arrays (the device path
         consumes codes; decoding 10^5..10^6 supports to strings just to
         re-encode them costs tens of seconds at E. coli scale)."""
-        rid = int(seed_id)
+        rid = int(rows["a_id"][0])
         if store.lengths[rid] < cutoff:
             return None
+        seed_id = "%09d" % rid
         seed_seq = store.get_seq(rid)
         out = [(seed_id, seed_seq, None)]
         skip_contained = self.p.skip_contained
-        for o in ovls:
-            if skip_contained and o.klass == records.CONTAINS:
+        for o in rows:
+            if skip_contained and int(o["klass"]) == otable.CONTAINS:
                 # falcon_sense_skip_contained: LA4Falcon -s drops supports
                 # contained in the seed (reference bash.py:350-351)
                 continue
-            b_rid = int(o.b_id)
+            b_rid = int(o["b_id"])
             codes = store.get_codes(b_rid)
-            if o.b_strand == 1:
+            b_start, b_end = int(o["b_start"]), int(o["b_end"])
+            a_start, a_end = int(o["a_start"]), int(o["a_end"])
+            if int(o["b_strand"]) == 1:
                 codes = readstore.revcomp_codes(codes)
-                rng = (o.b_len - o.b_end, o.b_len - o.b_start,
-                       o.a_start, o.a_end)
+                b_len = int(o["b_len"])
+                rng = (b_len - b_end, b_len - b_start, a_start, a_end)
             else:
-                rng = (o.b_start, o.b_end, o.a_start, o.a_end)
-            out.append((o.b_id, codes if as_codes
+                rng = (b_start, b_end, a_start, a_end)
+            out.append(("%09d" % b_rid, codes if as_codes
                         else readstore.decode_seq(codes), rng))
         return seed_id, out
 
@@ -283,10 +286,9 @@ class Pipeline:
         recs = self._overlap_store(store, self._engine_params(1), "phase1")
         self.timings["phase1_overlap"] = time.time() - t_start
 
-        lines = [r.to_line() for r in recs]
         with open(ovl_fn + ".tmp", "w") as f:
-            ofilter.run_ovlp_filter(
-                f, [lambda L=lines: L], max_diff=p.filt_max_diff,
+            ofilter.filter_table(
+                f, recs, max_diff=p.filt_max_diff,
                 max_cov=p.filt_max_cov, min_cov=p.filt_min_cov,
                 min_len=p.filt_min_len, bestn=p.filt_bestn)
         os.rename(ovl_fn + ".tmp", ovl_fn)

@@ -108,8 +108,8 @@ def test_seed_chain_matches_python_path(monkeypatch):
     monkeypatch.setattr("falcon_tpu.ops.native._tried", True)
     recs_py = engine.overlap_blocks(store, rids, rids, params)
     assert len(recs_native) == len(recs_py) > 10
-    assert [r.to_line() for r in recs_native] == \
-        [r.to_line() for r in recs_py]
+    from falcon_tpu.overlap import table as otable
+    assert otable.to_lines(recs_native) == otable.to_lines(recs_py)
 
 
 @pytest.mark.slow

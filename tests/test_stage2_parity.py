@@ -92,7 +92,8 @@ def make_preads_ovl(tmp, G=80000, coverage=12, err=0.004, seed=5,
         store, rids, rids,
         engine.OverlapParams(k=14, min_hits=4, min_overlap=500))
     recs = engine.emit_symmetric(ovls)
-    lines = [r.to_line() for r in recs]
+    from falcon_tpu.overlap import table as otable
+    lines = otable.to_lines(recs)
     ovl_fn = os.path.join(tmp, "preads.ovl")
     with open(ovl_fn, "w") as f:
         ofilter.run_ovlp_filter(f, [lambda L=lines: L], max_diff=60,
