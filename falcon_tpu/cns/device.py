@@ -133,7 +133,9 @@ class DeviceCns:
     """Chunked device consensus over gated groups."""
 
     def __init__(self, W=256, max_cells=1 << 19, chunk_tasks=8192,
-                 use_pallas=None, moves_budget=1 << 30):
+                 use_pallas=None, moves_budget=1 << 30, use_dp=None,
+                 dp_delta_cap=None, dp_budget=None):
+        import os
         from ..utils.jaxinit import setup_jax
         setup_jax()
         self.W = W
@@ -141,9 +143,19 @@ class DeviceCns:
         self.chunk_tasks = chunk_tasks  # alignment tasks per chunk
         self.moves_budget = moves_budget  # HBM bytes for one batch's trace
         if use_pallas is None:
-            import os
             use_pallas = os.environ.get("FTPU_USE_PALLAS", "1") != "0"
         self.use_pallas = use_pallas
+        # device MSA+DP path (ops.cns_dp): tags, scoring and backtrack all
+        # on chip; the host only decodes the final emission planes
+        if use_dp is None:
+            use_dp = os.environ.get("FTPU_CNS_DP", "1") != "0"
+        self.use_dp = use_dp
+        from ..ops import cns_dp as _cdp
+        self.dp_delta_cap = dp_delta_cap or int(
+            os.environ.get("FTPU_CNS_DP_DELTA", str(_cdp.D_DEFAULT)))
+        # HBM bytes for one DP batch's MSA count tensors
+        self.dp_budget = dp_budget or int(float(
+            os.environ.get("FTPU_CNS_DP_BUDGET", str(768e6))))
 
     # -- device batching ----------------------------------------------------
     def _batch_for(self, L):
@@ -311,7 +323,144 @@ class DeviceCns:
     def consensus_chunk(self, chunk, cfg):
         """chunk: [(seed_id, seed_seq, sups)] from gate_group_ranged.
         Returns [(seed_id, consensus_str)]."""
+        if self.use_dp:
+            return self.finish_chunk_dp(self.dispatch_chunk_dp(chunk, cfg))
         return self.finish_chunk(self.dispatch_chunk(chunk, cfg))
+
+    # -- fully-device path: MSA + DP + backtrack on chip -------------------
+    def _dp_group_cap(self, T):
+        """Groups per DP batch under the MSA HBM budget."""
+        D = self.dp_delta_cap
+        bytes_per_group = T * (5 * 16 + (D - 1) * 5 * 6) * 2
+        return max(4, int(self.dp_budget // bytes_per_group))
+
+    def _dispatch_align_meta(self, tasks, gidx, s2):
+        """dispatch_tasks, but keeps each batch's device q plane + task
+        meta for the on-device tag accumulation.
+
+        Returns [(q_dev, bd_outs, gidx_b, s2_b)] per align batch."""
+        import jax.numpy as jnp
+        from ..ops.align_device import _gather_pad2, _pack_tasks
+        buckets = {}
+        for idx, (qc, tc) in enumerate(tasks):
+            m = max(len(qc), len(tc), 1)
+            L = max(256, 1 << int(np.ceil(np.log2(m))))
+            buckets.setdefault(L, []).append(idx)
+        out = []
+        for L in sorted(buckets):
+            idxs = buckets[L]
+            B = self._batch_for(L)
+            for ofs in range(0, len(idxs), B):
+                chunk = idxs[ofs:ofs + B]
+                cat, qo, qlen, to_, tlen = _pack_tasks(tasks, chunk, B, L)
+                q, t = _gather_pad2(
+                    jnp.asarray(cat), jnp.asarray(qo), jnp.asarray(qlen),
+                    jnp.asarray(to_), jnp.asarray(tlen), L=L,
+                    fill_q=4, fill_t=5)
+                gi_b = np.full(B, -1, np.int32)
+                s2_b = np.zeros(B, np.int32)
+                gi_b[:len(chunk)] = [gidx[i] for i in chunk]
+                s2_b[:len(chunk)] = [s2[i] for i in chunk]
+                outs = self._align_tb(q, qlen, t, tlen)
+                out.append((q, outs, jnp.asarray(gi_b), jnp.asarray(s2_b)))
+        return out
+
+    def _dispatch_dp_batch(self, chunk, sub, G, T, cfg):
+        """One DP batch: self tags + align batches folded into the MSA
+        buffers + forward scan + backtrack, all queued async on device.
+
+        sub: indices into chunk (len <= G; padded groups stay empty)."""
+        import jax.numpy as jnp
+        from ..ops import cns_dp
+        D = self.dp_delta_cap
+        seeds = np.full((G, T), 4, np.int8)
+        tlens = np.zeros(G, np.int32)
+        tasks, gidx_l, s2_l = [], [], []
+        for g, ci in enumerate(sub):
+            seed_id, seed_seq, sups = chunk[ci]
+            sc = seq_to_codes(seed_seq)
+            seeds[g, :len(sc)] = np.minimum(sc, 4)
+            tlens[g] = len(sc)
+            for (sup, rng, is_self) in sups:
+                if is_self:
+                    continue   # covered exactly by add_self_tags
+                if rng is None:
+                    rng = self._host_range(sup, seed_seq, cfg)
+                    if rng is None:
+                        continue
+                rng = _clamp_range(rng, len(sup), len(seed_seq))
+                if not _range_ok(rng):
+                    continue
+                s1, e1, s2, e2 = rng
+                tasks.append((seq_to_codes(sup)[s1:e1], sc[s2:e2]))
+                gidx_l.append(g)
+                s2_l.append(s2)
+        L0, Ld = cns_dp.alloc_msa(G, T, D)
+        L0 = cns_dp.add_self_tags(L0, jnp.asarray(seeds),
+                                  jnp.asarray(tlens), T)
+        max_diff = 1.0 - cfg.min_idt
+        for (q, (bi, bj, bd, mvp), gi_b, s2_b) in \
+                self._dispatch_align_meta(tasks, gidx_l, s2_l):
+            L0, Ld = cns_dp.accumulate_tags(
+                L0, Ld, mvp, q, bd, gi_b, s2_b,
+                np.float32(max_diff), T, D)
+        bp, cov, gb_s, gb_t, gb_d, gb_b = cns_dp.consensus_scan(
+            L0, Ld, G, T, D)
+        emit = cns_dp.backtrack(bp, cov, gb_s, gb_t, gb_d, gb_b,
+                                np.int32(cfg.min_cov), G, T, D)
+        return (sub, emit, gb_s, len(tasks))
+
+    def dispatch_chunk_dp(self, chunk, cfg):
+        """Queue one chunk of gated groups through the full device path.
+        Returns an opaque state for finish_chunk_dp."""
+        import time as _time
+        t0 = _time.time()
+        buckets = {}
+        for ci, (seed_id, seed_seq, sups) in enumerate(chunk):
+            T = max(1024, 1 << int(np.ceil(np.log2(max(
+                len(seed_seq), 2)))))
+            buckets.setdefault(T, []).append(ci)
+        batches = []
+        n_tasks = 0
+        for T in sorted(buckets):
+            cis = buckets[T]
+            Gmax = self._dp_group_cap(T)
+            for ofs in range(0, len(cis), Gmax):
+                sub = cis[ofs:ofs + Gmax]
+                # pad G to a pow2 bucket of the actual group count: full
+                # batches share one compiled shape, small tails don't pay
+                # for Gmax-wide scans
+                G = min(Gmax, max(8, 1 << int(np.ceil(np.log2(
+                    max(len(sub), 2))))))
+                st = self._dispatch_dp_batch(chunk, sub, G, T, cfg)
+                n_tasks += st[3]
+                batches.append(st)
+                # bound live MSA buffers: wait for the scan of the
+                # batch-before-last before queueing more
+                if len(batches) > 2:
+                    batches[-3][2].block_until_ready()
+        LOG.info("cns.device-dp: chunk of %d groups -> %d DP batches "
+                 "(%d aln tasks, T buckets %s) dispatched in %.1fs",
+                 len(chunk), len(batches), n_tasks,
+                 sorted(buckets), _time.time() - t0)
+        return (chunk, batches)
+
+    def finish_chunk_dp(self, state):
+        """Collect DP batches; host only decodes emission planes.
+        Returns [(seed_id, consensus_str)] in chunk order."""
+        import time as _time
+        import jax
+        from ..ops import cns_dp
+        chunk, batches = state
+        t0 = _time.time()
+        out = [None] * len(chunk)
+        fetched = jax.device_get([emit for (_, emit, _, _) in batches])
+        for (sub, _, _, _), emit in zip(batches, fetched):
+            for g, ci in enumerate(sub):
+                out[ci] = (chunk[ci][0], cns_dp.assemble_consensus(emit, g))
+        LOG.info("cns.device-dp: collected %d groups in %.1fs",
+                 len(chunk), _time.time() - t0)
+        return out
 
     def _msa(self, t_len, alns, min_cov):
         if native.available():
@@ -351,11 +500,15 @@ def run_consensus_device(groups, cfg, out, dev=None):
     n_tasks = 0
     futs = []
 
+    finish_one = dev.finish_chunk_dp if dev.use_dp else dev.finish_chunk
+    dispatch_one = dev.dispatch_chunk_dp if dev.use_dp else \
+        dev.dispatch_chunk
+
     def finish(state):
         # single finisher thread: emission order == dispatch order, and
         # `out` is only ever written from here
         nonlocal emitted
-        for seed_id, cns in dev.finish_chunk(state):
+        for seed_id, cns in finish_one(state):
             emitted += runner.format_output(cns, seed_id, cfg, out)
 
     # Software pipeline, depth 2: the main thread gates groups and
@@ -367,7 +520,7 @@ def run_consensus_device(groups, cfg, out, dev=None):
             nonlocal chunk, n_tasks
             if not chunk:
                 return
-            state = dev.dispatch_chunk(chunk, cfg)
+            state = dispatch_one(chunk, cfg)
             chunk = []
             n_tasks = 0
             futs.append(finisher.submit(finish, state))

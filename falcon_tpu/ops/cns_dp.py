@@ -1,0 +1,305 @@
+"""Device-side consensus MSA + best-path DP (JAX/XLA, TPU).
+
+This moves the falcon_sense hot loop -- align-tag accumulation, forward
+scoring, backtrack (reference: src/c/falcon.c:308-558) -- onto the chip.
+The host kernel (ops.consensus_dp / native C++) remains the bit-exact
+reference; this path is the throughput engine, quality-validated by
+consensus-identity and downstream contig tests (like the device aligner,
+see cns.device's rationale).
+
+Formulation
+-----------
+Tags (t_pos, delta, q_base, pred) are never materialized as a list: they
+are computed DENSELY from each alignment's move stream (ops.align_tb
+packed moves) with cumsums, then scatter-added into per-group MSA count
+tensors:
+
+  L0[g, t, b, pc]        delta==0 columns; pc in [0,16) encodes the
+                         predecessor (pred_delta_class in {0,1,>=2} x
+                         pred_base in [0,5)), 15 = path start
+  Ld[g, t, d-1, b, pb]   delta==d>=1 columns; pred is exactly
+                         (t, d-1, pb), pb in [0,5), 5 = path start
+
+coverage[g, t] = sum over L0[g, t] (every delta-0 tag counts coverage,
+falcon.c update/coverage semantics).
+
+The forward DP (score = pred_score + link_count - 0.5*coverage,
+falcon.c:441-444) runs as ONE lax.scan over t for a whole batch of G
+groups: per step the delta-0 transition takes a max over the 16 pred
+classes, then the within-t delta chain unrolls D-1 small [G,5,6]
+max-reduce steps.  Every column's best predecessor is emitted as a uint8
+code; the backtrack is a second (reverse) scan that walks those codes and
+emits base codes, so only the final [T, G, D] emission plane crosses to
+the host.
+
+Approximations vs the bit-exact host kernel (documented, tested):
+  * delta-0 links with pred_delta >= 2 are aggregated per (pred_base)
+    class; scoring uses max over the class (the reference keeps one link
+    per exact pred_delta).  Mixed-delta predecessors are rare (<<1% of
+    columns at PacBio error rates).
+  * tie-breaks among a column's links follow pred-code order, not link
+    insertion order.
+  * delta (insertion offset) is capped at D-1 (default 13) instead of
+    255; a tag stream truncates at the cap exactly like the reference
+    truncates at 255 (falcon.c get_align_tags break).
+  * the reference's first emitted backtrack base is the best column's
+    link INDEX used as a base code (a quirk, see ops.consensus_dp); here
+    it is the best column's own base.  Affects only the final character.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+D_DEFAULT = 14   # delta capacity (max insertion offset + 1)
+NPC0 = 16        # delta-0 pred classes: 3 delta classes x 5 bases + start
+NPCD = 6         # delta-d pred classes: 5 bases + start
+NOEMIT = 15
+
+
+def l0_size(G, T):
+    return G * T * 5 * NPC0 + 1    # +1 dump slot for masked-out tags
+
+
+def ld_size(G, T, D):
+    return G * T * (D - 1) * 5 * NPCD + 1
+
+
+def alloc_msa(G, T, D):
+    """Fresh (L0flat, Ldflat) count buffers for one DP batch."""
+    return (jnp.zeros(l0_size(G, T), jnp.uint16),
+            jnp.zeros(ld_size(G, T, D), jnp.uint16))
+
+
+@functools.partial(jax.jit, static_argnames=("T", "D"),
+                   donate_argnums=(0, 1))
+def accumulate_tags(L0flat, Ldflat, mvp, q, bd, gidx, s2, max_diff, T, D):
+    """Scatter one align batch's tags into the MSA count buffers.
+
+    mvp:  [P, B] uint8 packed move stream (align_tb, end->start order)
+    q:    [B, Lq] int8 support-slice codes (pad 4)
+    bd:   [B] int32 edit distance (the keep gate: ncols>500 and
+          dist/ncols < max_diff, reference falcon.c:629)
+    gidx: [B] int32 group row of this DP batch (-1 = dead/pad task)
+    s2:   [B] int32 seed-range start (t offset of the alignment)
+    """
+    P, B = mvp.shape
+    S = P * 4
+    m = jnp.stack([mvp & 3, (mvp >> 2) & 3, (mvp >> 4) & 3,
+                   (mvp >> 6) & 3], axis=1)
+    ms = jnp.flip(m.reshape(S, B), axis=0).T.astype(jnp.int32)  # [B, S]
+    valid = ms != 3
+    consq = (ms == 0) | (ms == 2)
+    adv = (ms == 0) | (ms == 1)
+
+    ncols = valid.sum(axis=1).astype(jnp.int32)
+    keep = (ncols > 500) & (bd.astype(jnp.float32) <
+                            max_diff * ncols.astype(jnp.float32))
+    keep = keep & (gidx >= 0)
+
+    cq = jnp.cumsum(consq.astype(jnp.int32), axis=1)
+    qi = jnp.clip(cq - 1, 0, q.shape[1] - 1)
+    qb = jnp.take_along_axis(q.astype(jnp.int32), qi, axis=1)
+    base = jnp.where(consq, jnp.minimum(qb, 4), 4)
+
+    tpos = s2[:, None] - 1 + jnp.cumsum(adv.astype(jnp.int32), axis=1)
+    cq_at_adv = jax.lax.cummax(jnp.where(adv, cq, 0), axis=1)
+    delta = jnp.where(adv, 0, cq - cq_at_adv)
+
+    # truncation semantics: the first out-of-cap or t<0 tag breaks the
+    # rest of the read's tag stream (falcon.c:129-161 break)
+    bad = valid & ((delta >= D) | (tpos < 0))
+    ok = valid & (jnp.cumsum(bad.astype(jnp.int32), axis=1) == 0) & \
+        keep[:, None]
+
+    # predecessor = previous emitted tag of the same read
+    ar = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    pv = jax.lax.cummax(jnp.where(ok, ar, -1), axis=1)
+    pidx = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), pv[:, :-1]], axis=1)
+    p_exists = pidx >= 0
+    pcl = jnp.clip(pidx, 0, S - 1)
+    p_base = jnp.minimum(jnp.take_along_axis(base, pcl, axis=1), 4)
+    p_delta = jnp.take_along_axis(delta, pcl, axis=1)
+
+    gT = gidx[:, None].astype(jnp.int32) * T + jnp.clip(tpos, 0, T - 1)
+    in_t = (tpos >= 0) & (tpos < T)
+
+    is0 = ok & adv & in_t
+    pdc = jnp.minimum(p_delta, 2)
+    pc0 = jnp.where(p_exists, pdc * 5 + p_base, NPC0 - 1)
+    idx0 = (gT * 5 + base) * NPC0 + pc0
+    idx0 = jnp.where(is0, idx0, L0flat.shape[0] - 1)
+    L0flat = L0flat.at[idx0.reshape(-1)].add(1)
+
+    isd = ok & ~adv & in_t
+    pcd = jnp.where(p_exists, p_base, NPCD - 1)
+    idxd = ((gT * (D - 1) + jnp.clip(delta - 1, 0, D - 2)) * 5
+            + base) * NPCD + pcd
+    idxd = jnp.where(isd, idxd, Ldflat.shape[0] - 1)
+    Ldflat = Ldflat.at[idxd.reshape(-1)].add(1)
+    return L0flat, Ldflat
+
+
+@functools.partial(jax.jit, static_argnames=("T",), donate_argnums=(0,))
+def add_self_tags(L0flat, seeds, tlens, T):
+    """The seed's identity alignment as delta-0 tags (dense one-hot add;
+    cns.device includes the seed itself as a support)."""
+    G = seeds.shape[0]
+    c = jnp.minimum(seeds.astype(jnp.int32), 4)
+    prev = jnp.concatenate(
+        [jnp.zeros((G, 1), jnp.int32), c[:, :-1]], axis=1)
+    t_ar = jax.lax.broadcasted_iota(jnp.int32, (G, T), 1)
+    pc = jnp.where(t_ar == 0, NPC0 - 1, prev)    # pred class 0*5+prev
+    code = c * NPC0 + pc
+    valid = t_ar < tlens[:, None]
+    oh = (code[:, :, None] ==
+          jax.lax.broadcasted_iota(jnp.int32, (1, 1, 5 * NPC0), 2))
+    upd = (oh & valid[:, :, None]).astype(jnp.uint16)
+    L0 = L0flat[:-1].reshape(G, T, 5 * NPC0) + upd
+    return jnp.concatenate([L0.reshape(-1), L0flat[-1:]])
+
+
+@functools.partial(jax.jit, static_argnames=("G", "T", "D"))
+def consensus_scan(L0flat, Ldflat, G, T, D):
+    """Forward DP over t (falcon.c:405-477 as one scan for G groups).
+
+    Returns (bp [T, G, D, 5] uint8 best-pred codes, cov [G, T] int32,
+    gb_score, gb_t, gb_d, gb_b [G]).
+
+    Pred codes: <128 = jump to (t-1, code//5, code%5); 128..249 = stay at
+    (t, d-1, code-128); 254/255 = path start (stop).
+    """
+    L0 = L0flat[:-1].reshape(G, T, 5, NPC0)
+    Ld = Ldflat[:-1].reshape(G, T, D - 1, 5, NPCD)
+    cov = L0.astype(jnp.int32).sum(axis=(2, 3))
+    L0t = jnp.moveaxis(L0, 1, 0)
+    Ldt = jnp.moveaxis(Ld, 1, 0)
+    covt = cov.T
+    NEG = jnp.float32(-1e9)
+
+    def step(carry, xs):
+        S_prev, gb_s, gb_t, gb_d, gb_b, t_idx = carry
+        l0u, ldu, cv = xs
+        l0 = l0u.astype(jnp.float32)           # [G, 5, 16]
+        ld = ldu.astype(jnp.float32)           # [G, D-1, 5, 6]
+        half_cov = 0.5 * cv.astype(jnp.float32)
+        s2p = jnp.max(S_prev[:, 2:, :], axis=1)
+        a2 = jnp.argmax(S_prev[:, 2:, :], axis=1).astype(jnp.int32) + 2
+        P = jnp.concatenate(
+            [S_prev[:, 0, :], S_prev[:, 1, :], s2p,
+             jnp.zeros((G, 1), jnp.float32)], axis=1)       # [G, 16]
+        cand0 = jnp.where(l0 > 0, P[:, None, :] + l0, NEG)
+        best0 = jnp.max(cand0, axis=2)
+        arg0 = jnp.argmax(cand0, axis=2).astype(jnp.int32)  # [G, 5]
+        exists0 = jnp.any(l0 > 0, axis=2)
+        S0 = jnp.where(exists0, best0 - half_cov[:, None],
+                       jnp.float32(-1.0))
+        pb0 = arg0 % 5
+        cls0 = arg0 // 5
+        pd0 = jnp.where(cls0 == 0, 0,
+                        jnp.where(cls0 == 1, 1,
+                                  jnp.take_along_axis(a2, pb0, axis=1)))
+        code0 = jnp.where((arg0 == NPC0 - 1) | ~exists0, 254,
+                          pd0 * 5 + pb0)
+        S_list = [S0]
+        code_list = [code0]
+        for d in range(1, D):
+            qv = jnp.concatenate(
+                [S_list[d - 1], jnp.zeros((G, 1), jnp.float32)], axis=1)
+            ldd = ld[:, d - 1]                               # [G, 5, 6]
+            cand = jnp.where(ldd > 0, qv[:, None, :] + ldd, NEG)
+            best = jnp.max(cand, axis=2)
+            arg = jnp.argmax(cand, axis=2).astype(jnp.int32)
+            exists = jnp.any(ldd > 0, axis=2)
+            Sd = jnp.where(exists, best - half_cov[:, None],
+                           jnp.float32(-1.0))
+            code = jnp.where((arg == NPCD - 1) | ~exists, 255, 128 + arg)
+            S_list.append(Sd)
+            code_list.append(code)
+        S_t = jnp.stack(S_list, axis=1)                      # [G, D, 5]
+        codes = jnp.stack(code_list, axis=1).astype(jnp.uint8)
+        flat = S_t.reshape(G, D * 5)
+        mbest = jnp.max(flat, axis=1)
+        am = jnp.argmax(flat, axis=1).astype(jnp.int32)
+        upd = mbest > gb_s                 # strict: earlier t wins ties
+        gb_s = jnp.where(upd, mbest, gb_s)
+        gb_t = jnp.where(upd, t_idx, gb_t)
+        gb_d = jnp.where(upd, am // 5, gb_d)
+        gb_b = jnp.where(upd, am % 5, gb_b)
+        return (S_t, gb_s, gb_t, gb_d, gb_b, t_idx + 1), codes
+
+    init = (jnp.full((G, D, 5), -1.0, jnp.float32),
+            jnp.full((G,), -1.0, jnp.float32),
+            jnp.zeros((G,), jnp.int32), jnp.zeros((G,), jnp.int32),
+            jnp.zeros((G,), jnp.int32), jnp.int32(0))
+    (S_last, gb_s, gb_t, gb_d, gb_b, _), bp = jax.lax.scan(
+        step, init, (L0t, Ldt, covt))
+    return bp, cov, gb_s, gb_t, gb_d, gb_b
+
+
+@functools.partial(jax.jit, static_argnames=("G", "T", "D"))
+def backtrack(bp, cov, gb_s, gb_t, gb_d, gb_b, min_cov, G, T, D):
+    """Walk best-pred codes end -> start (falcon.c:493-540 semantics).
+
+    Emits per (t, visit-slot) a 4-bit code: base 0..3 (+5 if lowercase,
+    coverage <= min_cov), NOEMIT=15 = nothing.  Host assembly reverses
+    the stream (assemble_consensus).
+    """
+    covt = cov.T
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (G, D, 5), 1)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (G, D, 5), 2)
+
+    def step(carry, xs):
+        t_cur, d_cur, b_cur, ck, done, n_emit = carry
+        bpt, cvt, t = xs
+        emits = []
+        bpt_i = bpt.astype(jnp.int32)
+        lower = cvt <= min_cov
+        for _ in range(D):
+            act = (~done) & (t_cur == t)
+            oh = (iota_d == d_cur[:, None, None]) & \
+                 (iota_b == b_cur[:, None, None])
+            code = jnp.max(jnp.where(oh, bpt_i, 0), axis=(1, 2))
+            is_start = code >= 250
+            can = act & ~is_start
+            ev = jnp.where(can & (ck != 4) & (n_emit < 2 * T),
+                           (ck + 5 * lower).astype(jnp.uint8),
+                           jnp.uint8(NOEMIT))
+            n_emit = n_emit + (ev != NOEMIT).astype(jnp.int32)
+            emits.append(ev)
+            jump = can & (code < 128)
+            stay = can & (code >= 128)
+            step_b = jnp.where(jump, code % 5,
+                               jnp.where(stay, code - 128, b_cur))
+            d_cur = jnp.where(jump, code // 5,
+                              jnp.where(stay, d_cur - 1, d_cur))
+            b_cur = step_b
+            ck = jnp.where(jump | stay, step_b, ck)
+            t_cur = jnp.where(jump, t_cur - 1, t_cur)
+            done = done | (act & is_start) | (n_emit >= 2 * T)
+        return (t_cur, d_cur, b_cur, ck, done, n_emit), \
+            jnp.stack(emits, axis=1)
+
+    init = (gb_t, gb_d, gb_b, gb_b, gb_s == -1.0,
+            jnp.zeros((G,), jnp.int32))
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    _, emit = jax.lax.scan(step, init,
+                           (jnp.flip(bp, axis=0), jnp.flip(covt, axis=0),
+                            ts))
+    return emit     # [T, G, D] uint8
+
+
+_LUT = np.frombuffer(b"ACGT-acgt-", np.uint8)
+
+
+def assemble_consensus(emit, g):
+    """Host: one group's emission plane -> consensus string."""
+    codes = np.asarray(emit[:, g, :]).reshape(-1)
+    sel = codes[codes != NOEMIT][::-1]
+    return _LUT[np.minimum(sel, 9)].tobytes().decode()
+
+
+def consensus_batch_host(emit, n_groups):
+    return [assemble_consensus(emit, g) for g in range(n_groups)]

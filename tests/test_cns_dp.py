@@ -1,0 +1,163 @@
+"""Device-side consensus MSA+DP (ops.cns_dp): correctness vs the exact
+host kernel (ops.consensus_dp / falcon.c semantics).
+
+The DP path is quality-validated, not bit-exact (see ops.cns_dp's
+documented approximations); these tests pin:
+  * exact behavior on unambiguous groups (identical supports)
+  * >=99.5% consensus identity vs the host-MSA device path on noisy
+    groups, and >=99% vs the ground truth
+  * gating parity (too-small groups emit nothing from either path)
+"""
+import io
+
+import numpy as np
+import pytest
+
+from falcon_tpu.cns import runner
+from falcon_tpu.cns.device import (DeviceCns, gate_group_ranged,
+                                   run_consensus_device)
+from falcon_tpu.ops import native, align as pyalign
+
+A = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _al(q, t, band=1000):
+    if native.available():
+        return native.align(q, t, band, False)
+    return pyalign.align(q, t, band, False)
+
+
+def noisy(t_arr, err, rng):
+    out = []
+    for c in t_arr:
+        r = rng.rand()
+        if r < err / 3:
+            continue
+        if r < 2 * err / 3:
+            out.append(rng.randint(0, 4))
+            out.append(int(c))
+            continue
+        if r < err:
+            out.append((int(c) + rng.randint(1, 4)) % 4)
+            continue
+        out.append(int(c))
+    return np.array(out, dtype=np.uint8)
+
+
+def make_group(truth, n_sup, err, rng, seed_id="000000000"):
+    seed_seq = A[truth].tobytes().decode()
+    items = [(seed_id, seed_seq, None)]
+    for k in range(n_sup):
+        sup = A[noisy(truth, err, rng)].tobytes().decode() if err \
+            else seed_seq
+        items.append(("%09d" % (k + 1), sup,
+                      (0, len(sup), 0, len(seed_seq))))
+    return items
+
+
+CFG = dict(min_cov=2, min_idt=0.70, min_n_read=4, min_cov_aln=4)
+
+
+def test_dp_identical_supports_exact():
+    """Unambiguous group: the DP path must reproduce the reference
+    backtrack exactly -- consensus = seed[1:] (the walk emits pred bases;
+    the reference's first base is dropped, and the device replaces the
+    reference's quirk terminal char with the true final base)."""
+    rng = np.random.RandomState(3)
+    truth = rng.randint(0, 4, 2000).astype(np.uint8)
+    items = make_group(truth, 6, 0.0, rng)
+    cfg = runner.ConsensusConfig(**CFG)
+    g = gate_group_ranged("000000000", items, cfg)
+    dev = DeviceCns(use_dp=True, use_pallas=False)
+    (sid, cns), = dev.consensus_chunk([("000000000", g[0], g[1])], cfg)
+    seed_seq = A[truth].tobytes().decode()
+    assert cns == seed_seq[1:]
+
+
+@pytest.mark.parametrize("err,seed", [(0.08, 11), (0.15, 12)])
+def test_dp_quality_vs_host_msa(err, seed):
+    rng = np.random.RandomState(seed)
+    truth = rng.randint(0, 4, 4000).astype(np.uint8)
+    items = make_group(truth, 14, err, rng)
+    cfg = runner.ConsensusConfig(**CFG)
+    g = gate_group_ranged("000000000", items, cfg)
+    chunk = [("000000000", g[0], g[1])]
+
+    (_, cns_dp), = DeviceCns(
+        use_dp=True, use_pallas=False).consensus_chunk(chunk, cfg)
+    (_, cns_host), = DeviceCns(
+        use_dp=False, use_pallas=False).consensus_chunk(chunk, cfg)
+    assert len(cns_dp) > 3000 and len(cns_host) > 3000
+    a = _al(cns_dp, cns_host)
+    idt = 1 - a.dist / max(1, a.aln_str_size)
+    assert a.aln_str_size > 0.9 * min(len(cns_dp), len(cns_host))
+    assert idt > 0.995, "DP path diverges from host MSA: %.4f" % idt
+    t_str = A[truth].tobytes().decode()
+    a2 = _al(cns_dp, t_str)
+    assert 1 - a2.dist / max(1, a2.aln_str_size) > 0.99
+
+
+def test_dp_multi_group_batching():
+    """Groups of different seed lengths land in different T buckets and
+    DP batches; results must come back in chunk order."""
+    rng = np.random.RandomState(7)
+    cfg = runner.ConsensusConfig(**CFG)
+    chunk = []
+    truths = []
+    for i, n in enumerate((1500, 2600, 900, 5100)):
+        truth = rng.randint(0, 4, n).astype(np.uint8)
+        truths.append(truth)
+        items = make_group(truth, 8, 0.08, rng, seed_id="%09d" % i)
+        g = gate_group_ranged("%09d" % i, items, cfg)
+        assert g is not None
+        chunk.append(("%09d" % i, g[0], g[1]))
+    dev = DeviceCns(use_dp=True, use_pallas=False)
+    res = dev.consensus_chunk(chunk, cfg)
+    assert [sid for sid, _ in res] == ["%09d" % i for i in range(4)]
+    for (sid, cns), truth in zip(res, truths):
+        t_str = A[truth].tobytes().decode()
+        a = _al(cns, t_str)
+        assert 1 - a.dist / max(1, a.aln_str_size) > 0.985, sid
+
+
+def test_dp_empty_group_emits_nothing():
+    """A group whose every support fails the range gates produces ''
+    (the scan finds no column with score > -1 beyond the seed's own
+    self-tags... the seed self-alignment alone still yields the seed)."""
+    rng = np.random.RandomState(9)
+    truth = rng.randint(0, 4, 1200).astype(np.uint8)
+    seed_seq = A[truth].tobytes().decode()
+    # supports unrelated to the seed: alignment gate (>500 cols,
+    # < max_diff) kills them
+    other = rng.randint(0, 4, 1200).astype(np.uint8)
+    items = [("000000000", seed_seq, None)]
+    for k in range(6):
+        items.append(("%09d" % (k + 1), A[other].tobytes().decode(),
+                      (0, 1200, 0, 1200)))
+    cfg = runner.ConsensusConfig(**CFG)
+    g = gate_group_ranged("000000000", items, cfg)
+    dev = DeviceCns(use_dp=True, use_pallas=False)
+    (_, cns), = dev.consensus_chunk([("000000000", g[0], g[1])], cfg)
+    # self-tags alone: every column has coverage 1 <= min_cov -> all
+    # lowercase; format_output would then drop it via [ACGT]+ splitting
+    assert cns == seed_seq[1:].lower()
+    out = io.StringIO()
+    assert runner.format_output(cns, "000000000",
+                                runner.ConsensusConfig(**CFG), out) == 0
+
+
+def test_run_consensus_device_dp_stream():
+    """The streaming front-end with the DP path end-to-end."""
+    rng = np.random.RandomState(21)
+    truth = rng.randint(0, 4, 3000).astype(np.uint8)
+    items = make_group(truth, 12, 0.1, rng)
+    cfg = runner.ConsensusConfig(output_multi=False, **CFG)
+    out = io.StringIO()
+    dev = DeviceCns(use_dp=True, use_pallas=False)
+    n = run_consensus_device(iter([("000000000", items)]), cfg, out,
+                             dev=dev)
+    assert n == 1
+    seq = "".join(out.getvalue().splitlines()[1:])
+    t_str = A[truth].tobytes().decode()
+    a = _al(seq, t_str)
+    assert 1 - a.dist / max(1, a.aln_str_size) > 0.99
