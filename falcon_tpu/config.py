@@ -48,6 +48,10 @@ DEFAULTS = {
     "overlap_stride": "4",
     "overlap_stride_pr": "16",
     "use_device": "true",
+    # soft-mask tracks built into the raw ReadStore before overlapping
+    # (the DBdust + TANmask roles; reference bash.py:164-213 runs both on
+    # every raw DB).  Comma list of {dust, tan}; empty disables.
+    "masking": "dust,tan",
 }
 
 
@@ -233,3 +237,7 @@ class StageParams:
         self.overlap_stride = int(cfg["overlap_stride"])
         self.overlap_stride_pr = int(cfg["overlap_stride_pr"])
         self.use_device = _coerce_bool(cfg["use_device"])
+        masking = {t.strip() for t in cfg.get("masking", "").split(",")
+                   if t.strip()}
+        self.mask_dust = "dust" in masking
+        self.mask_tandem = "tan" in masking or "tandem" in masking

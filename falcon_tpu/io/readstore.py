@@ -64,6 +64,7 @@ class ReadStore:
         self.offsets = np.asarray(offsets, dtype=np.int64)
         self.data = np.asarray(data, dtype=np.uint8)
         self.blocks = []  # list of np.ndarray of read ids
+        self.mask = None  # per-base soft-mask track (io.masking), flat bool
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -149,17 +150,26 @@ class ReadStore:
             out[i, :len(c)] = c
         return out, lens
 
-    def packed_block(self, rids, pad_to=None):
-        """2-bit packed view: uint32 [n, ceil(L/16)], 16 bases per word,
-        base i in bits (2*(i%16)). Pads are stored as 0 (A) -- callers must
-        mask by length."""
-        dense, lens = self.dense_block(rids, pad_to=pad_to, pad_multiple=128)
-        d = np.where(dense < 4, dense, 0).astype(np.uint32)
-        n, L = d.shape
-        d = d.reshape(n, L // 16, 16)
-        shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
-        packed = (d << shifts).sum(axis=2, dtype=np.uint32)
-        return packed, lens
+    # 2-bit packing of block codes lives in ops.align_device
+    # (pack_flat_2bit + the on-device unpacking gather): the overlap
+    # engine's spec path ships every block to HBM 2-bit packed.
+
+    # -- soft-mask tracks (DBdust / TANmask analog) ------------------------
+    def build_masks(self, dust=True, tandem=True):
+        """Per-base low-complexity + tandem soft-mask track (the
+        DBdust + datander/TANmask/Catrack roles, reference:
+        falcon_kit/bash.py:164-213, mains/dazzler.py:220-338).  Masks
+        only suppress seed k-mers; see io.masking."""
+        from . import masking
+        self.mask = masking.build_mask(self.data, self.offsets,
+                                       dust=dust, tandem=tandem)
+        return self.mask
+
+    def get_mask(self, rid):
+        if self.mask is None:
+            return None
+        o = self.offsets[rid]
+        return self.mask[o:o + self.lengths[rid]]
 
     # -- stats / cutoff ----------------------------------------------------
     def length_histogram(self, bin_size=1000):
@@ -197,7 +207,10 @@ class ReadStore:
                  blocks_flat=(np.concatenate(self.blocks)
                               if self.blocks else np.zeros(0, np.int32)),
                  blocks_sizes=np.asarray([len(b) for b in self.blocks],
-                                         dtype=np.int64))
+                                         dtype=np.int64),
+                 mask_bits=(np.packbits(self.mask)
+                            if self.mask is not None
+                            else np.zeros(0, np.uint8)))
         names_path = str(path)
         if names_path.endswith(".npz"):
             names_path = names_path[:-4]
@@ -213,6 +226,9 @@ class ReadStore:
         with open(names_path) as f:
             names = [l.strip() for l in f if l.strip()]
         rs = cls(names, z["lengths"], z["offsets"], z["data"])
+        if "mask_bits" in z and len(z["mask_bits"]):
+            rs.mask = np.unpackbits(
+                z["mask_bits"])[:len(rs.data)].astype(bool)
         sizes = z["blocks_sizes"]
         flat = z["blocks_flat"]
         blocks, pos = [], 0

@@ -92,17 +92,34 @@ class BlockIndex:
         total = int(self.offsets[-1])
         self.fwd = np.empty(total, dtype=np.uint8)
         self.rev = np.empty(total, dtype=np.uint8)
+        has_mask = getattr(store, "mask", None) is not None
+        mf = np.zeros(total, dtype=bool) if has_mask else None
+        mr = np.zeros(total, dtype=bool) if has_mask else None
         for i, rid in enumerate(self.rids):
             c = store.get_codes(rid)
             o = self.offsets[i]
             self.fwd[o:o + len(c)] = c
             self.rev[o:o + len(c)] = revcomp_codes(c)
+            if has_mask:
+                m = store.get_mask(rid)
+                mf[o:o + len(c)] = m
+                mr[o:o + len(c)] = m[::-1]
+        # seeding views: soft-masked bases (dust/tandem tracks,
+        # io.masking) become 255 so they produce no k-mer keys; the
+        # alignment paths keep reading the unmasked fwd/rev arrays
+        # (daligner -mdust/-mtan semantics: masks gate seeds only)
+        if has_mask:
+            self.seed_fwd = np.where(mf, np.uint8(255), self.fwd)
+            self.seed_rev = np.where(mr, np.uint8(255), self.rev)
+        else:
+            self.seed_fwd = self.fwd
+            self.seed_rev = self.rev
         if not build_tables:
             return
 
         K = params.k
-        keys_f, ok_f = _kmer_keys_flat(self.fwd, K)
-        keys_r, ok_r = _kmer_keys_flat(self.rev, K)
+        keys_f, ok_f = _kmer_keys_flat(self.seed_fwd, K)
+        keys_r, ok_r = _kmer_keys_flat(self.seed_rev, K)
         # kill k-mers spanning read boundaries
         pos = np.arange(len(keys_f), dtype=np.int64)
         read_of = np.searchsorted(self.offsets, pos, side="right") - 1
@@ -277,6 +294,14 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
     for i, rid in enumerate(rids_a):
         c = store.get_codes(rid)
         a_flat[a_offsets[i]:a_offsets[i] + len(c)] = c
+    # seeding view of the A side (soft-mask tracks gate seeds only)
+    if getattr(store, "mask", None) is not None:
+        a_seed = a_flat.copy()
+        for i, rid in enumerate(rids_a):
+            m = store.get_mask(rid)
+            a_seed[a_offsets[i]:a_offsets[i] + len(m)][m] = 255
+    else:
+        a_seed = a_flat
 
     if use_native:
         # fused C++ join+chain per strand (radix sorts, no hit arrays
@@ -285,14 +310,16 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
         from concurrent.futures import ThreadPoolExecutor
         fmode = 1 if same_block else 2
         with ThreadPoolExecutor(2) as tpe:
-            f0 = tpe.submit(native.seed_chain, a_flat, a_offsets,
-                            index.fwd, index.offsets, K, params.stride,
-                            params.max_kmer_freq, params.bin_size,
-                            params.min_hits, fmode, rids_a, index.rids)
-            f1 = tpe.submit(native.seed_chain, a_flat, a_offsets,
-                            index.rev, index.offsets, K, params.stride,
-                            params.max_kmer_freq, params.bin_size,
-                            params.min_hits, fmode, rids_a, index.rids)
+            f0 = tpe.submit(native.seed_chain, a_seed, a_offsets,
+                            index.seed_fwd, index.offsets, K,
+                            params.stride, params.max_kmer_freq,
+                            params.bin_size, params.min_hits, fmode,
+                            rids_a, index.rids)
+            f1 = tpe.submit(native.seed_chain, a_seed, a_offsets,
+                            index.seed_rev, index.offsets, K,
+                            params.stride, params.max_kmer_freq,
+                            params.bin_size, params.min_hits, fmode,
+                            rids_a, index.rids)
             c0 = f0.result()
             c1 = f1.result()
         # merge the per-strand candidate lists to (a, b, strand) order
@@ -318,7 +345,7 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
             aligner = extend_pairs_host
         return aligner(store, index, rids_a, cands, params)
     else:
-        keys, ok = _kmer_keys_flat(a_flat, K)
+        keys, ok = _kmer_keys_flat(a_seed, K)
         pos = np.arange(len(keys), dtype=np.int64)
         read_of = np.searchsorted(a_offsets, pos, side="right") - 1
         ok = ok & (pos + K <= a_offsets[read_of + 1])

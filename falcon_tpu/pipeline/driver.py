@@ -138,6 +138,11 @@ class Pipeline:
                 else [fofn]
             store = readstore.ReadStore.from_fasta_files(
                 paths, min_len=p.raw_min_len)
+            if p.mask_dust or p.mask_tandem:
+                # dust/tandem soft-mask tracks (DBdust + TANmask roles)
+                t_mask = time.time()
+                store.build_masks(dust=p.mask_dust, tandem=p.mask_tandem)
+                self.timings["phase0_masking"] = time.time() - t_mask
             store.split_blocks(int(p.raw_block_mb * 1e6))
             store.save(store_fn)
         LOG.info("phase0: %d raw reads, %d bases, %d blocks",
