@@ -60,6 +60,13 @@ def init_distributed():
         num = int(os.environ["FTPU_NUM_PROCESSES"])
         pid = int(os.environ["FTPU_PROCESS_ID"])
         try:
+            # CPU multi-process runs (tests, dev boxes) need the gloo
+            # collectives backend; a no-op for TPU jobs
+            jax.config.update("jax_cpu_collectives_implementation",
+                              "gloo")
+        except Exception:
+            pass
+        try:
             jax.distributed.initialize(
                 coordinator_address=coord, num_processes=num,
                 process_id=pid)
