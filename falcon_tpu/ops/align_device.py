@@ -198,6 +198,45 @@ def _gather_specs2(flat, q_off, q_len, q_dir, t_off, t_len, t_dir,
                                                  fill_t)
 
 
+def pack_flat_2bit(flat_u8):
+    """Host: flat uint8 codes -> 2-bit packed uint32 words (16 bases per
+    word, base i in bits 2*(i%16)).  Non-ACGT codes map to 3 -- the
+    DAZZ_DB convention of substituting Ns is the same loss of
+    information (2-bit DBs cannot carry N)."""
+    n = len(flat_u8)
+    pad = (-n) % 16
+    d = np.empty(n + pad, np.uint32)
+    d[:n] = np.where(flat_u8 < 4, flat_u8, 3)
+    d[n:] = 0
+    d = d.reshape(-1, 16)
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
+    return (d << shifts).sum(axis=1, dtype=np.uint32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("L", "fill_q", "fill_t"))
+def _gather_specs2_packed(packed, q_off, q_len, q_dir, t_off, t_len,
+                          t_dir, L, fill_q, fill_t):
+    """_gather_specs2 over a 2-bit packed resident array: the block's
+    codes live in HBM 4x denser (SURVEY section 7 step 9; the
+    BASELINE.json north-star format) and are unpacked on the fly during
+    the task gather."""
+    import jax.numpy as jnp
+    ar = jnp.arange(L, dtype=jnp.int32)[None, :]
+    nwords = packed.shape[0]
+    cap = nwords * 16 - 1
+
+    def one(off, ln, dr, fill):
+        idx = jnp.clip(off[:, None] + ar * dr[:, None], 0, cap)
+        w = packed[jnp.clip(idx >> 4, 0, nwords - 1)]
+        b = (w >> (2 * (idx & 15)).astype(jnp.uint32)) & jnp.uint32(3)
+        return jnp.where(ar < ln[:, None], b.astype(jnp.int8),
+                         jnp.int8(fill))
+
+    return one(q_off, q_len, q_dir, fill_q), one(t_off, t_len, t_dir,
+                                                 fill_t)
+
+
 class DeviceExtender:
     """Length-bucketed batching front-end for extend_batch_device.
 
@@ -223,6 +262,10 @@ class DeviceExtender:
             import os
             use_pallas = os.environ.get("FTPU_USE_PALLAS", "1") != "0"
         self.use_pallas = use_pallas
+        import os as _os
+        # 2-bit packed HBM residency for the spec path (4x denser block
+        # transfer + storage; Ns degrade to a fixed base like DAZZ_DB)
+        self.use_packed = _os.environ.get("FTPU_PACKED", "1") != "0"
 
     def _extend(self, q, qlen, t, tlen):
         import jax.numpy as jnp
@@ -351,11 +394,22 @@ class DeviceExtender:
         t_len = np.minimum(t_len, cap).astype(np.int32)
         m = np.maximum(np.maximum(q_len, t_len), 1)
         Ls = np.maximum(1 << np.ceil(np.log2(m)).astype(np.int64), 256)
-        # resident flat, padded to a stable pow2 shape
-        fl = 1 << int(np.ceil(np.log2(max(len(flat), 2))))
-        flat_p = np.zeros(fl + 1, np.uint8)
-        flat_p[:len(flat)] = flat
-        flat_d = jnp.asarray(flat_p.view(np.int8))
+        if self.use_packed:
+            # 2-bit packed residency: block codes sit in HBM 4x denser
+            # and unpack on the fly inside the task gather
+            words = pack_flat_2bit(flat)
+            wl = 1 << int(np.ceil(np.log2(max(len(words), 2))))
+            words_p = np.zeros(wl, np.uint32)
+            words_p[:len(words)] = words
+            flat_d = jnp.asarray(words_p)
+            gather_fn = _gather_specs2_packed
+        else:
+            # resident flat, padded to a stable pow2 shape
+            fl = 1 << int(np.ceil(np.log2(max(len(flat), 2))))
+            flat_p = np.zeros(fl + 1, np.uint8)
+            flat_p[:len(flat)] = flat
+            flat_d = jnp.asarray(flat_p.view(np.int8))
+            gather_fn = _gather_specs2
         specs = (q_off.astype(np.int32), q_len, q_dir.astype(np.int32),
                  t_off.astype(np.int32), t_len, t_dir.astype(np.int32))
         results = [None] * n
@@ -372,7 +426,7 @@ class DeviceExtender:
                 sel = [np.zeros(B, np.int32) for _ in range(6)]
                 for c in range(6):
                     sel[c][:len(chunk)] = specs[c][chunk]
-                qd, td = _gather_specs2(
+                qd, td = gather_fn(
                     flat_d, jnp.asarray(sel[0]), jnp.asarray(sel[1]),
                     jnp.asarray(sel[2]), jnp.asarray(sel[3]),
                     jnp.asarray(sel[4]), jnp.asarray(sel[5]),

@@ -55,8 +55,15 @@ def test_dense_and_packed_views():
     dense, lens = rs.dense_block([0, 1])
     assert dense.shape[1] % 128 == 0
     assert (dense[1, 100:] == readstore.PAD).all()
-    packed, plens = rs.packed_block([0, 1])
-    # first word of read 0 encodes ACGTACGT... (A=0 C=1 G=2 T=3 2-bit LE)
-    w = int(packed[0, 0])
+    # 2-bit flat packing (the engine's HBM-resident block format)
+    from falcon_tpu.ops.align_device import pack_flat_2bit
+    words = pack_flat_2bit(rs.data)
+    w = int(words[0])
     decoded = [(w >> (2 * i)) & 3 for i in range(16)]
     assert decoded == [0, 1, 2, 3] * 4
+    # every base round-trips
+    n = len(rs.data)
+    all_dec = np.zeros(len(words) * 16, np.uint8)
+    for i in range(16):
+        all_dec[i::16] = (words >> np.uint32(2 * i)) & np.uint32(3)
+    assert np.array_equal(all_dec[:n], rs.data)
