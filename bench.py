@@ -49,6 +49,34 @@ def make_pairs(B, L, err, seed=0):
     return q, qlen, t, tlen
 
 
+# -- roofline denominators ---------------------------------------------------
+# The extension kernel is VPU-bound (int32 elementwise min/add/select over
+# [block_b, W] wavefront tiles; no matmuls).  Speed of light is therefore the
+# VPU integer issue rate, not the MXU:
+#   v5e TensorCore clock ~1.5GHz (197e12 bf16 FLOP/s / (4 MXUs*128*128*2));
+#   VPU = 8 sublanes x 128 lanes x 4 ALUs -> ~6.1e12 int ops/s.
+# Per DP cell the kernel's fast path issues ~12 VPU ops (2 min + 2 add for
+# the recurrence, sub-cost d*d+min, 4 compare/and for the validity mask,
+# where+clamp) -- counted from align_pallas._kernel.do_step.
+VPU_PEAK_OPS = {"v5e": 6.1e12, "v5p": 9.1e12, "v4": 3.8e12}
+OPS_PER_CELL = 12.0
+
+
+def chip_kind():
+    import jax
+    d = jax.devices()[0]
+    kind = (getattr(d, "device_kind", "") or "").lower()
+    for k in VPU_PEAK_OPS:
+        if k in kind:
+            return k
+    plat = getattr(d, "platform", "")
+    if plat in ("tpu", "axon"):
+        import os
+        gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+        return gen if gen in VPU_PEAK_OPS else "v5e"
+    return None
+
+
 def bench_device(q, qlen, t, tlen, W=256, iters=3):
     import jax
     import jax.numpy as jnp
@@ -70,12 +98,13 @@ def bench_device(q, qlen, t, tlen, W=256, iters=3):
                 jnp.asarray(t.astype(np.int32)), jnp.asarray(tlen))
         fn = lambda: extend_batch_device(*args, W=W)
     _ = [np.asarray(x) for x in fn()]  # compile (or cache hit) + force
-    t0 = time.time()
+    times = []
     for _ in range(iters):
+        t0 = time.time()
         _ = [np.asarray(x) for x in fn()]
-    dt = (time.time() - t0) / iters
+        times.append(time.time() - t0)
     bases = float(np.minimum(qlen, tlen).sum())
-    return bases / dt
+    return bases, times
 
 
 def bench_reference_c(q, qlen, t, tlen, max_pairs=8):
@@ -125,20 +154,44 @@ def main():
         except subprocess.TimeoutExpired:
             pass
 
-    B, L, err = 512, 8192, 0.2
+    B, L, W, err = 512, 8192, 256, 0.2
     q, qlen, t, tlen = make_pairs(B, L, err)
-    dev_bps = bench_device(q, qlen, t, tlen)
+    # methodology: 1 warmup (compile/cache), n=5 timed repeats on the same
+    # resident arrays; report mean and run-to-run CV (see BASELINE.md)
+    bases, times = bench_device(q, qlen, t, tlen, W=W, iters=5)
+    dt = float(np.mean(times))
+    cv = float(np.std(times) / dt) if dt > 0 else 0.0
+    dev_bps = bases / dt
     ref_bps = bench_reference_c(q, qlen, t, tlen)
     if ref_bps is None:
         ref_bps = FALLBACK_C_BASES_PER_S
-    print(json.dumps({
+    # roofline: the kernel computes 2*L anti-diagonals x W lanes per pair
+    # (every lane of every step, masked or not, costs VPU issue slots)
+    cells = float(B) * 2.0 * L * W
+    cells_per_s = cells / dt
+    kind = chip_kind()
+    vpu_peak = VPU_PEAK_OPS.get(kind)
+    rec = {
         "metric": "overlap_align_bases_per_s_per_chip",
         "value": round(dev_bps, 1),
         "unit": "bases/s",
         "vs_baseline": round(dev_bps / ref_bps, 3),
         "kernel": "pallas" if os.environ.get("FTPU_USE_PALLAS") == "1"
         else "xla",
-    }))
+        "cells_per_s": round(cells_per_s, 1),
+        "run_cv": round(cv, 4),
+        "n_runs": len(times),
+        "chip": kind or "cpu",
+    }
+    if vpu_peak:
+        # fraction of the VPU integer roofline at ~12 ops/cell; and band
+        # occupancy = useful cells (within the band of real, unmasked
+        # pairs) over issued cells
+        rec["mfu_vpu"] = round(cells_per_s * OPS_PER_CELL / vpu_peak, 4)
+        rec["sol_cells_per_s"] = round(vpu_peak / OPS_PER_CELL, 1)
+        util = float(np.minimum(qlen, tlen).sum()) * 2.0 * W / cells
+        rec["band_occupancy"] = round(util, 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

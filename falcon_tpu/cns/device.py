@@ -155,7 +155,7 @@ class DeviceCns:
             os.environ.get("FTPU_CNS_DP_DELTA", str(_cdp.D_DEFAULT)))
         # HBM bytes for one DP batch's MSA count tensors
         self.dp_budget = dp_budget or int(float(
-            os.environ.get("FTPU_CNS_DP_BUDGET", str(768e6))))
+            os.environ.get("FTPU_CNS_DP_BUDGET", str(2e9))))
 
     # -- device batching ----------------------------------------------------
     def _batch_for(self, L):
@@ -329,9 +329,19 @@ class DeviceCns:
 
     # -- fully-device path: MSA + DP + backtrack on chip -------------------
     def _dp_group_cap(self, T):
-        """Groups per DP batch under the MSA HBM budget."""
+        """Groups per DP batch under the MSA HBM budget.
+
+        Models the TPU tiled layout: a trailing dim rounds up to 128
+        lanes, so budget by padded bytes -- the [G,T,k] MSA buffers plus
+        their [T,G,k] scan transposes, and the bp/emit planes (+flip)."""
         D = self.dp_delta_cap
-        bytes_per_group = T * (5 * 16 + (D - 1) * 5 * 6) * 2
+
+        def lanes(k):
+            return -(-k // 128) * 128
+
+        msa = T * (lanes(5 * 16) + lanes((D - 1) * 5 * 6)) * 2
+        planes = T * lanes(D * 5)
+        bytes_per_group = 2 * msa + 3 * planes
         return max(4, int(self.dp_budget // bytes_per_group))
 
     def _dispatch_align_meta(self, tasks, gidx, s2):

@@ -165,15 +165,21 @@ def add_self_tags(L0flat, seeds, tlens, T):
 def consensus_scan(L0flat, Ldflat, G, T, D):
     """Forward DP over t (falcon.c:405-477 as one scan for G groups).
 
-    Returns (bp [T, G, D, 5] uint8 best-pred codes, cov [G, T] int32,
+    Returns (bp [T, G, D*5] uint8 best-pred codes, cov [G, T] int32,
     gb_score, gb_t, gb_d, gb_b [G]).
 
     Pred codes: <128 = jump to (t-1, code//5, code%5); 128..249 = stay at
     (t, d-1, code-128); 254/255 = path start (stop).
     """
-    L0 = L0flat[:-1].reshape(G, T, 5, NPC0)
-    Ld = Ldflat[:-1].reshape(G, T, D - 1, 5, NPCD)
-    cov = L0.astype(jnp.int32).sum(axis=(2, 3))
+    # TPU layout note: keep the big [*, T, *] tensors 3-D with a LARGE
+    # trailing dim.  A [G,T,D-1,5,6] materialization tiles its minor
+    # (5,6) dims to (8,128) on TPU -- a 34x HBM blowup (21.6GB at
+    # G=99,T=8192,D=14).  Flat [.., 390]/[.., 80] trailing dims pad to
+    # 512/128 only; the per-step [G, k] slices inside the scan are tiny
+    # and safe to reshape.
+    L0 = L0flat[:-1].reshape(G, T, 5 * NPC0)
+    Ld = Ldflat[:-1].reshape(G, T, (D - 1) * 5 * NPCD)
+    cov = L0.astype(jnp.int32).sum(axis=2)
     L0t = jnp.moveaxis(L0, 1, 0)
     Ldt = jnp.moveaxis(Ld, 1, 0)
     covt = cov.T
@@ -182,8 +188,8 @@ def consensus_scan(L0flat, Ldflat, G, T, D):
     def step(carry, xs):
         S_prev, gb_s, gb_t, gb_d, gb_b, t_idx = carry
         l0u, ldu, cv = xs
-        l0 = l0u.astype(jnp.float32)           # [G, 5, 16]
-        ld = ldu.astype(jnp.float32)           # [G, D-1, 5, 6]
+        l0 = l0u.astype(jnp.float32).reshape(G, 5, NPC0)
+        ld = ldu.astype(jnp.float32).reshape(G, D - 1, 5, NPCD)
         half_cov = 0.5 * cv.astype(jnp.float32)
         s2p = jnp.max(S_prev[:, 2:, :], axis=1)
         a2 = jnp.argmax(S_prev[:, 2:, :], axis=1).astype(jnp.int32) + 2
@@ -219,7 +225,10 @@ def consensus_scan(L0flat, Ldflat, G, T, D):
             S_list.append(Sd)
             code_list.append(code)
         S_t = jnp.stack(S_list, axis=1)                      # [G, D, 5]
-        codes = jnp.stack(code_list, axis=1).astype(jnp.uint8)
+        # emit the pred plane flat [G, D*5]: a [T,G,D,5] stack would
+        # tile-pad (D,5)->(16,128) on TPU (1.66GB of uint8 at T=8192)
+        codes = jnp.stack(code_list, axis=1).astype(jnp.uint8) \
+            .reshape(G, D * 5)
         flat = S_t.reshape(G, D * 5)
         mbest = jnp.max(flat, axis=1)
         am = jnp.argmax(flat, axis=1).astype(jnp.int32)
@@ -248,22 +257,24 @@ def backtrack(bp, cov, gb_s, gb_t, gb_d, gb_b, min_cov, G, T, D):
     the stream (assemble_consensus).
     """
     covt = cov.T
-    iota_d = jax.lax.broadcasted_iota(jnp.int32, (G, D, 5), 1)
-    iota_b = jax.lax.broadcasted_iota(jnp.int32, (G, D, 5), 2)
+    iota_db = jax.lax.broadcasted_iota(jnp.int32, (G, D * 5), 1)
 
     def step(carry, xs):
         t_cur, d_cur, b_cur, ck, done, n_emit = carry
         bpt, cvt, t = xs
         emits = []
-        bpt_i = bpt.astype(jnp.int32)
+        bpt_i = bpt.astype(jnp.int32)         # [G, D*5]
         lower = cvt <= min_cov
         for _ in range(D):
             act = (~done) & (t_cur == t)
-            oh = (iota_d == d_cur[:, None, None]) & \
-                 (iota_b == b_cur[:, None, None])
-            code = jnp.max(jnp.where(oh, bpt_i, 0), axis=(1, 2))
+            oh = iota_db == (d_cur * 5 + b_cur)[:, None]
+            code = jnp.max(jnp.where(oh, bpt_i, 0), axis=1)
             is_start = code >= 250
             can = act & ~is_start
+            # the start column emits nothing: the reference's backtrack
+            # drops the path's first base too (falcon.c:493-540 emits via
+            # the predecessor walk; verified vs ops.consensus_dp -- an
+            # identical-support group yields seed[1:])
             ev = jnp.where(can & (ck != 4) & (n_emit < 2 * T),
                            (ck + 5 * lower).astype(jnp.uint8),
                            jnp.uint8(NOEMIT))

@@ -11,8 +11,14 @@ external-tool text schema so reference artifacts interoperate
 
 score is the negated overlap length; idt is percent with 2 decimals;
 a_strand is always 0; b_strand 1 means b maps reverse-complemented, with
-b_start/b_end reported on the alignment strand; class is one of
-overlap / contains / contained / none.
+b_start/b_end reported ASCENDING ON B'S FORWARD STRAND (b_start < b_end
+always).  This is the convention the reference consumer requires: its
+ovlp_to_graph swaps begin/end for strand-1 rows
+(ovlp_to_graph.py:764) and graph_to_contig then slices the
+forward-stored pread with s>t => reverse-complement
+(graph_to_contig.py:171-179); pinned against the reference's real-run
+artifact in tests/test_interop.py.  class is one of overlap / contains /
+contained / none.
 """
 from dataclasses import dataclass
 
