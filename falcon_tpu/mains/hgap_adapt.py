@@ -66,16 +66,31 @@ def adapt(job_dir, out_dir):
         os.makedirs(d, exist_ok=True)
     satisfied = set()
 
-    # phase 0 product: consensus preads FASTA
+    # phase 0 product: consensus preads FASTA.  Search order: a direct
+    # preads.fasta; the reference's gather FOFN
+    # (0-rawreads/preads/input_preads.fofn, run1.py:452); per-task
+    # consensus shards (cns_%05d.fasta pype_tasks.py:518-520,
+    # consensus.*.fasta / out.*.fasta across reference versions)
     preads = _walk_matches(job_dir, "preads.fasta")
     if preads:
         _link(preads[0], os.path.join(dir0, "preads.fasta"))
         satisfied.add(0)
     else:
-        # reference layout: per-block consensus shards under
-        # 0-rawreads/preads/ (cns_* task dirs, out.%05d.fasta files)
-        shards = [p for p in _walk_matches(job_dir, "out.*.fasta")
-                  if "rawreads" in p or "preads" in p or "cns" in p]
+        shards = []
+        for fofn_pat in ("input_preads.fofn", "preads.fofn"):
+            fofns = _walk_matches(job_dir, fofn_pat)
+            if fofns:
+                base = os.path.dirname(fofns[0])
+                with open(fofns[0]) as f:
+                    shards = [os.path.join(base, ln.strip())
+                              for ln in f if ln.strip()]
+                break
+        if not shards:
+            for pat in ("out.*.fasta", "cns_*.fasta", "consensus.*.fasta"):
+                shards = [p for p in _walk_matches(job_dir, pat)
+                          if "rawreads" in p or "preads" in p or "cns" in p]
+                if shards:
+                    break
         if shards:
             _concat(shards, os.path.join(dir0, "preads.fasta"))
             satisfied.add(0)

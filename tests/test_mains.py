@@ -3,6 +3,7 @@ on real artifacts (mirrors the reference's smoke/help test pattern,
 e.g. test/test_consensus.py:5-9)."""
 import io
 import os
+import shutil
 import sys
 
 import pytest
@@ -130,3 +131,83 @@ def test_hgap_adapt(tmp_path):
     empty.mkdir()
     assert hgap_adapt.main(["prog", "--job-output", str(empty),
                             "--out", str(tmp_path / "run2")]) == 1
+
+
+def test_hgap_adapt_reference_layout_resume(tmp_path):
+    """VERDICT round-1 #9: a realistic reference run-tree
+    (0-rawreads cns-runs shards + gather FOFN, 1-preads_ovl/db2falcon,
+    2-asm-falcon/preads.ovl) is adopted, and the falcon_tpu driver then
+    RESUMES from it: phases 0/1 are skipped and stage 2 output equals a
+    direct stage-2 run on the same artifacts."""
+    import numpy as np
+    from falcon_tpu.io import fasta
+    from falcon_tpu.graph import unitigs, to_contig
+    from tests.test_stage2_parity import make_preads_ovl
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ovl_fn = make_preads_ovl(str(src), G=60000, coverage=10, seed=9)
+    preads = list(fasta.read_fasta(str(src / "preads4falcon.fasta")))
+
+    # reference layout: consensus shards + gather FOFN
+    # (run1.py:452 input_preads.fofn; pype_tasks.py:518 cns_%05d.fasta)
+    job = tmp_path / "ext_run"
+    cns1 = job / "0-rawreads" / "cns-runs" / "cns_00001" / "uow-00"
+    cns2 = job / "0-rawreads" / "cns-runs" / "cns_00002" / "uow-00"
+    for d in (cns1, cns2):
+        d.mkdir(parents=True)
+    half = len(preads) // 2
+    fasta.write_fasta(str(cns1 / "cns_00001.fasta"),
+                      [(r.name, r.sequence) for r in preads[:half]])
+    fasta.write_fasta(str(cns2 / "cns_00002.fasta"),
+                      [(r.name, r.sequence) for r in preads[half:]])
+    pd = job / "0-rawreads" / "preads"
+    pd.mkdir()
+    (pd / "input_preads.fofn").write_text(
+        "%s\n%s\n" % (os.path.relpath(cns1 / "cns_00001.fasta", pd),
+                      os.path.relpath(cns2 / "cns_00002.fasta", pd)))
+    (job / "0-rawreads" / "length_cutoff").write_text("2000\n")
+    d2f = job / "1-preads_ovl" / "db2falcon"
+    d2f.mkdir(parents=True)
+    shutil.copy(str(src / "preads4falcon.fasta"),
+                str(d2f / "preads4falcon.fasta"))
+    (job / "2-asm-falcon").mkdir()
+    shutil.copy(ovl_fn, str(job / "2-asm-falcon" / "preads.ovl"))
+
+    run = tmp_path / "run"
+    rc = hgap_adapt.main(["prog", "--job-output", str(job),
+                          "--out", str(run)])
+    assert rc == 0
+    # adopted preads.fasta = concatenated shards in FOFN order
+    got = list(fasta.read_fasta(str(run / "0-rawreads" / "preads.fasta")))
+    assert [r.name for r in got] == [r.name for r in preads]
+
+    # the driver resumes: phases 0/1 satisfied by artifacts, phase 2 runs
+    from falcon_tpu.pipeline.driver import Pipeline
+    (run / "raw_reads.fa").write_text(">dummy\nACGT\n")
+    (run / "input.fofn").write_text("raw_reads.fa\n")
+    (run / "fc_run.cfg").write_text(
+        "[General]\ninput_fofn = input.fofn\ninput_type = raw\n"
+        "genome_size = 60000\nseed_coverage = 10\n"
+        "length_cutoff = -1\nlength_cutoff_pr = 500\n")
+    cwd = os.getcwd()
+    os.chdir(str(run))
+    try:
+        p_ctg = Pipeline("fc_run.cfg", str(run)).run()
+    finally:
+        os.chdir(cwd)
+    ctgs = {r.name: r.sequence for r in fasta.read_fasta(p_ctg)}
+    assert ctgs, "no contigs from adopted run"
+
+    # direct stage-2 on the same artifacts must agree byte-for-byte
+    ref2 = tmp_path / "direct"
+    ref2.mkdir()
+    shutil.copy(ovl_fn, str(ref2 / "preads.ovl"))
+    shutil.copy(str(src / "preads4falcon.fasta"),
+                str(ref2 / "preads4falcon.fasta"))
+    unitigs.ovlp_to_graph(str(ref2 / "preads.ovl"), str(ref2),
+                          min_len=500, min_idt=96.0, lfc=False)
+    to_contig.run(str(ref2))
+    want = {r.name: r.sequence
+            for r in fasta.read_fasta(str(ref2 / "p_ctg.fa"))}
+    assert ctgs == want
