@@ -96,3 +96,90 @@ def test_full_assembly_multiblock(tmp_path):
     assert ctgs, "no contigs produced"
     longest = max(ctgs, key=lambda c: len(c.sequence))
     assert len(longest.sequence) > 0.75 * G
+
+
+@pytest.mark.slow
+def test_full_assembly_adversarial(tmp_path):
+    """VERDICT round-1 #10: the stretched e2e bar.  A diploid-ish
+    adversarial genome -- internal 8kb repeat, a het window (4% SNPs +
+    a 1.5kb insertion in hap2), chimeric junk reads -- through the FULL
+    pipeline (raw reads -> consensus -> pread overlap -> graph):
+    exactly one primary contig at >=99.9% identity, plus a_ctg bubble
+    content that anchors back to the genome at >=99% identity."""
+    from falcon_tpu.graph.to_contig import rc
+    from falcon_tpu.ops import native, align as pyalign
+    os.chdir(tmp_path)
+    G = 120000
+    seed = 11
+    rng = np.random.RandomState(seed)
+    g = list(sim.random_genome(G, seed=seed))
+    g[60000:68000] = g[10000:18000]            # dispersed repeat copy
+    hap1 = "".join(g)
+    hap2 = list(hap1)
+    bases = "ACGT"
+    for p in range(30000, 36000):              # het window
+        if rng.rand() < 0.04:
+            hap2[p] = bases[(bases.index(hap2[p]) + 1 + rng.randint(3))
+                            % 4]
+    ins = "".join(bases[rng.randint(4)] for _ in range(1500))
+    hap2 = "".join(hap2[:33000]) + ins + "".join(hap2[33000:])
+    err = 0.03
+    reads = list(sim.simulate_reads(hap1, coverage=14, mean_len=8000,
+                                    min_len=2500, error=err,
+                                    seed=seed + 1))
+    r2 = sim.simulate_reads(hap2, coverage=14, mean_len=8000,
+                            min_len=2500, error=err, seed=seed + 2)
+    reads += [("1%08d" % i, s) for i, (n, s) in enumerate(r2)]
+    for i in range(6):                         # chimeric junk
+        a = rng.randint(0, G - 30000)
+        b = rng.randint(0, G - 30000)
+        if abs(a - b) < 30000:
+            b = (b + 50000) % (G - 30000)
+        reads.append(("2%08d" % i, hap1[a:a + 4000] + hap1[b:b + 4000]))
+
+    fasta.write_fasta("raw_reads.fa", reads, width=80)
+    with open("input.fofn", "w") as f:
+        f.write("raw_reads.fa\n")
+    with open("fc_run.cfg", "w") as f:
+        f.write("""[General]
+input_fofn = input.fofn
+input_type = raw
+genome_size = %d
+seed_coverage = 18
+length_cutoff = -1
+length_cutoff_pr = 1000
+falcon_sense_option = --output-multi --min-idt 0.70 --min-cov 2 --max-n-read 1800
+overlap_filtering_setting = --max-diff 100 --max-cov 100 --min-cov 1
+""" % G)
+    p_ctg = Pipeline("fc_run.cfg", str(tmp_path), use_device=False).run()
+
+    al = native.align if native.available() else pyalign.align
+
+    def idt_vs(s, gen):
+        probe = s[500:560]
+        for gg in (gen, rc(gen)):
+            p = gg.find(probe)
+            if p >= 0:
+                L = min(len(s) - 500, len(gg) - p) - 100
+                if L <= 0:
+                    return None
+                a = al(s[500:500 + L], gg[p:p + L + int(0.1 * L)],
+                       1500, False)
+                return 1 - a.dist / max(1, a.aln_str_size)
+        return None
+
+    ctgs = list(fasta.read_fasta(p_ctg))
+    assert len(ctgs) == 1, [c.name for c in ctgs]
+    (c,) = ctgs
+    assert len(c.sequence) > 0.95 * G
+    idt = idt_vs(c.sequence, hap1)
+    assert idt is not None and idt >= 0.999, idt
+
+    a_fn = os.path.join("2-asm-falcon", "a_ctg.fa")
+    actgs = [r for r in fasta.read_fasta(a_fn)
+             if len(r.sequence) >= 1000]
+    assert actgs, "no alternate (bubble) contigs"
+    for r in actgs:
+        ai = max(x for x in (idt_vs(r.sequence, hap1),
+                             idt_vs(r.sequence, hap2)) if x is not None)
+        assert ai >= 0.99, (r.name, ai)
