@@ -85,17 +85,26 @@ def main():
     t_ref = time.time() - t0
     ref_cns = sum(len(c or "") for c in ref_out)
 
-    # -- falcon_tpu device engine ----------------------------------------
+    # -- falcon_tpu device engine: both consensus back-ends --------------
+    # host-msa: device align+traceback, C++ MSA/DP on host (default);
+    # device-dp: MSA+DP+backtrack on chip (FTPU_CNS_DP=1 path)
     import io
-    from falcon_tpu.cns.device import run_consensus_device
-    out = io.StringIO()
-    run_consensus_device(iter(groups[:2]), cfg, io.StringIO())  # warm jit
-    t0 = time.time()
-    n = run_consensus_device(iter(groups), cfg, out)
-    t_dev = time.time() - t0
-    dev_cns = sum(len(l) for l in out.getvalue().splitlines()
-                  if not l.startswith(">"))
+    from falcon_tpu.cns.device import DeviceCns, run_consensus_device
+    paths = {}
+    for label, use_dp in (("hostmsa", False), ("dp", True)):
+        dev = DeviceCns(use_dp=use_dp)
+        out = io.StringIO()
+        run_consensus_device(iter(groups[:2]), cfg, io.StringIO(),
+                             dev=dev)  # warm jit
+        t0 = time.time()
+        n = run_consensus_device(iter(groups), cfg, out, dev=dev)
+        t_dev = time.time() - t0
+        dev_cns = sum(len(l) for l in out.getvalue().splitlines()
+                      if not l.startswith(">"))
+        paths[label] = (t_dev, dev_cns, n)
 
+    t_dev = min(t for t, _, _ in paths.values())
+    best = [k for k, v in paths.items() if v[0] == t_dev][0]
     print(json.dumps({
         "metric": "consensus_bases_per_s",
         "value": round(total_bases / t_dev, 1),
@@ -104,10 +113,13 @@ def main():
         "ref_bases_per_s": round(total_bases / t_ref, 1),
         "ref_wall_s": round(t_ref, 1),
         "dev_wall_s": round(t_dev, 1),
+        "best_path": best,
+        "hostmsa_bases_per_s": round(total_bases / paths["hostmsa"][0], 1),
+        "dp_bases_per_s": round(total_bases / paths["dp"][0], 1),
         "n_core_ref": args.n_core,
         "ref_cns_bases": ref_cns,
-        "dev_cns_bases": dev_cns,
-        "n_groups_dev": n,
+        "dev_cns_bases": paths[best][1],
+        "n_groups_dev": paths[best][2],
     }))
 
 

@@ -146,9 +146,15 @@ class DeviceCns:
             use_pallas = os.environ.get("FTPU_USE_PALLAS", "1") != "0"
         self.use_pallas = use_pallas
         # device MSA+DP path (ops.cns_dp): tags, scoring and backtrack all
-        # on chip; the host only decodes the final emission planes
+        # on chip; the host only decodes the final emission planes.
+        # Default OFF: measured on the tunneled v5e (bench_consensus,
+        # round 2), the XLA scatter-add in accumulate_tags (~1us/update)
+        # and the tiny-op backtrack scan make this path ~5x slower than
+        # the host-C++-MSA hybrid at steady state; opt in with
+        # FTPU_CNS_DP=1 (it remains the multi-chip scaling path and is
+        # correctness-tested by tests/test_cns_dp.py).
         if use_dp is None:
-            use_dp = os.environ.get("FTPU_CNS_DP", "1") != "0"
+            use_dp = os.environ.get("FTPU_CNS_DP", "0") == "1"
         self.use_dp = use_dp
         from ..ops import cns_dp as _cdp
         self.dp_delta_cap = dp_delta_cap or int(
