@@ -30,12 +30,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 INF32 = np.int32(1 << 20)
 NEG_INF32 = np.int32(-(1 << 30))
-SB = 8  # 2-step pairs per super-block (2*SB anti-diagonals)
+SB = 16  # 2-step pairs per super-block (2*SB anti-diagonals); deeper
+         # super-blocks amortize grid-step overhead (VMEM-capped at 16
+         # here: the move-plane block is [2*SB, block_b, W] int8)
+STAMP_BIG = np.int32(1 << 30)
 
 
 def _fwd_kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
                 bi_ref, bj_ref, bd_ref, mv_ref,
-                carry0_ref, carry1_ref, best_ref, W, end_bonus):
+                carry0_ref, carry1_ref, bs_ref, bstamp_ref, bdp_ref,
+                W, end_bonus):
     BT = qlen_ref.shape[0]
     sb = pl.program_id(1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
@@ -50,10 +54,12 @@ def _fwd_kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
         carry0_ref[:] = jnp.full((BT, W + 4), INF32, jnp.int32)
         carry1_ref[:] = jnp.full((BT, W + 4), INF32, jnp.int32)
         carry0_ref[:, 2 + W // 2] = jnp.zeros((BT,), jnp.int32)
-        best_ref[:, 0] = jnp.full((BT,), NEG_INF32, jnp.int32)
-        best_ref[:, 1] = jnp.zeros((BT,), jnp.int32)
-        best_ref[:, 2] = jnp.zeros((BT,), jnp.int32)
-        best_ref[:, 3] = jnp.zeros((BT,), jnp.int32)
+        # per-lane best planes (see align_pallas: the in-loop cross-lane
+        # argmax dominated kernel time; stamp = s*W + lane reproduces
+        # the earliest-step-then-lowest-lane tie-break exactly)
+        bs_ref[:] = jnp.full((BT, W), NEG_INF32, jnp.int32)
+        bstamp_ref[:] = jnp.full((BT, W), STAMP_BIG, jnp.int32)
+        bdp_ref[:] = jnp.zeros((BT, W), jnp.int32)
 
     o_base = SB * sb - W // 2
 
@@ -93,18 +99,11 @@ def _fwd_kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
         def _track():
             at_end = valid & ((i == qlen) | (j == tlen)) & (cur < INF32)
             score = jnp.where(at_end, (i + j) - end_bonus * cur, NEG_INF32)
-            lane_score = jnp.max(score, axis=1)
-            is_max = score == lane_score[:, None]
-            arg = jnp.min(jnp.where(is_max, lanes, W), axis=1)
-            improved = lane_score > best_ref[:, 0]
-            sel_i = o + arg
-            sel_j = s - sel_i
-            sel_d = jnp.min(
-                jnp.where(lanes == arg[:, None], cur, INF32), axis=1)
-            best_ref[:, 0] = jnp.where(improved, lane_score, best_ref[:, 0])
-            best_ref[:, 1] = jnp.where(improved, sel_i, best_ref[:, 1])
-            best_ref[:, 2] = jnp.where(improved, sel_j, best_ref[:, 2])
-            best_ref[:, 3] = jnp.where(improved, sel_d, best_ref[:, 3])
+            upd = score > bs_ref[:]
+            bs_ref[:] = jnp.where(upd, score, bs_ref[:])
+            bstamp_ref[:] = jnp.where(upd, jnp.int32(s * W) + lanes,
+                                      bstamp_ref[:])
+            bdp_ref[:] = jnp.where(upd, cur, bdp_ref[:])
 
         prev2cur_ref[:, 2:2 + W] = cur
 
@@ -114,10 +113,23 @@ def _fwd_kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
         # even step: o_rel = m + 1; (d1, d2) = (1, 1)
         do_step(2 * m + 2, m + 1, m + 1, SB - m, 1, carry1_ref, carry0_ref)
 
-    found = best_ref[:, 0] > NEG_INF32
-    bi_ref[:, 0] = jnp.where(found, best_ref[:, 1], 0)
-    bj_ref[:, 0] = jnp.where(found, best_ref[:, 2], 0)
-    bd_ref[:, 0] = jnp.where(found, best_ref[:, 3], 0)
+    @pl.when(sb == pl.num_programs(1) - 1)
+    def _finish():
+        bsc = bs_ref[:]
+        m_ = jnp.max(bsc, axis=1)
+        is_max = bsc == m_[:, None]
+        stamp = jnp.min(jnp.where(is_max, bstamp_ref[:], STAMP_BIG),
+                        axis=1)
+        sel = bstamp_ref[:] == stamp[:, None]
+        d_ = jnp.min(jnp.where(sel & is_max, bdp_ref[:], INF32), axis=1)
+        s_win = stamp // W
+        lane_win = stamp - s_win * W
+        i_ = (s_win // 2 - W // 2) + lane_win
+        j_ = s_win - i_
+        found = m_ > NEG_INF32
+        bi_ref[:, 0] = jnp.where(found, i_, 0)
+        bj_ref[:, 0] = jnp.where(found, j_, 0)
+        bd_ref[:, 0] = jnp.where(found, d_, 0)
 
 
 def _bwd_kernel(mv_ref, bi_ref, bj_ref, out_ref, st_ref, W, n_sb):
@@ -243,7 +255,9 @@ def align_tb_batch_pallas(q, qlen, t, tlen, W=256, end_bonus=3,
         scratch_shapes=[
             pltpu.VMEM((block_b, W + 4), jnp.int32),
             pltpu.VMEM((block_b, W + 4), jnp.int32),
-            pltpu.VMEM((block_b, 4), jnp.int32),
+            pltpu.VMEM((block_b, W), jnp.int32),   # per-lane best score
+            pltpu.VMEM((block_b, W), jnp.int32),   # per-lane stamp
+            pltpu.VMEM((block_b, W), jnp.int32),   # per-lane distance
         ],
     )(qwin, twin, qlen2, tlen2, minlen)
 
