@@ -32,22 +32,45 @@ import numpy as np
 LOG = logging.getLogger(__name__)
 
 
-def _prev_occurrence_dist(keys, ok):
-    """For each position, distance to the previous position with the
-    same key (both must be ok); 1<<30 where none."""
-    n = len(keys)
-    big = np.int64(1 << 30)
-    if n == 0:
-        return np.zeros(0, dtype=np.int64)
-    pos = np.arange(n, dtype=np.int64)
-    kv = np.where(ok, keys, -1 - pos)     # invalid keys never match
-    order = np.lexsort((pos, kv))
-    ks = kv[order]
-    ps = pos[order]
-    d = np.full(n, big, dtype=np.int64)
-    same = ks[1:] == ks[:-1]
-    d[ps[1:][same]] = ps[1:][same] - ps[:-1][same]
-    return d
+def _near_repeat_hits(keys, ok, max_period, chunk=8192):
+    """(positions, distances) of ok entries whose key recurred at an ok
+    position within max_period entries before them.
+
+    Chunked packed sort: a recurrence within max_period spans at most
+    max_period compacted entries, so sorting overlapping [chunk] rows
+    (stride chunk - max_period) finds every pair while each row sort
+    stays in cache -- ~10x a global 100M-element lexsort.  Duplicate
+    hits from overlapping rows are deduped."""
+    pos = np.flatnonzero(ok).astype(np.int64)
+    m = len(pos)
+    if m < 2:
+        return (np.zeros(0, np.int64),) * 2
+    assert chunk > max_period
+    packed = (keys[pos].astype(np.int64) << 32) | pos
+    step = chunk - max_period
+    nrows = max(1, -(-(m - max_period) // step))
+    starts = np.minimum(np.arange(nrows, dtype=np.int64) * step,
+                        max(0, m - chunk))
+    idx = starts[:, None] + np.arange(chunk, dtype=np.int64)[None, :]
+    idx = np.minimum(idx, m - 1)
+    rows = packed[idx]
+    rows.sort(axis=1)                       # in-cache row sorts
+    same = (rows[:, 1:] >> 32) == (rows[:, :-1] >> 32)
+    p2 = rows[:, 1:] & np.int64(0xFFFFFFFF)
+    p1 = rows[:, :-1] & np.int64(0xFFFFFFFF)
+    d = p2 - p1
+    hit = same & (d > 0) & (d <= max_period)
+    hp = p2[hit]
+    hd = d[hit]
+    if len(hp) == 0:
+        return hp, hd
+    # truncated overlap rows can pair a position with a farther prior
+    # occurrence; keep the smallest distance per position (= distance to
+    # the true previous occurrence, as the global-sort version computed)
+    order = np.lexsort((hd, hp))
+    hp, hd = hp[order], hd[order]
+    first = np.r_[True, hp[1:] != hp[:-1]]
+    return hp[first], hd[first]
 
 
 def _read_of(offsets, n):
@@ -56,18 +79,33 @@ def _read_of(offsets, n):
 
 
 def _kmer_keys(codes, K):
-    c = codes.astype(np.int64)
+    dt = np.int32 if K <= 15 else np.int64
+    c = codes.astype(dt)
     n = len(c)
     if n < K:
-        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool)
+        return np.zeros(0, dtype=dt), np.zeros(0, dtype=bool)
     bad = c > 3
     c = np.where(bad, 0, c)
-    acc = np.zeros(n - K + 1, dtype=np.int64)
+    acc = np.zeros(n - K + 1, dtype=dt)
     ok = np.ones(n - K + 1, dtype=bool)
     for i in range(K):
         acc = acc * 4 + c[i:n - K + 1 + i]
         ok &= ~bad[i:n - K + 1 + i]
     return acc, ok
+
+
+def _boundary_ok(nk, offsets, K):
+    """ok[i] False when the K-mer at flat position i crosses a read
+    boundary (diff-array paint over the read ends; no per-position
+    searchsorted)."""
+    dif = np.zeros(nk + 1, dtype=np.int32)
+    ends = offsets[1:]
+    lo = np.maximum(ends - K + 1, 0)
+    hi = np.minimum(ends, nk)
+    keep = lo < hi
+    np.add.at(dif, lo[keep], 1)
+    np.add.at(dif, hi[keep], -1)
+    return np.cumsum(dif[:-1]) == 0
 
 
 def dust_mask(codes, offsets, window=64, max_dist=8, min_frac=0.7):
@@ -77,13 +115,28 @@ def dust_mask(codes, offsets, window=64, max_dist=8, min_frac=0.7):
     if n < 3:
         return mask
     keys, ok = _kmer_keys(codes, 3)
+    nk = len(keys)
+    keys = keys.astype(np.uint8)          # 6-bit triplet keys
     # invalidate triplets spanning read boundaries
-    ro = _read_of(offsets, len(keys))
-    ok &= np.arange(len(keys), dtype=np.int64) + 3 <= offsets[ro + 1]
-    d = _prev_occurrence_dist(keys, ok)
-    # prev occurrence must be on the same read
-    d = np.where(np.arange(len(keys)) - d >= offsets[ro], d, 1 << 30)
-    rep = ((d <= max_dist) & ok).astype(np.int64)
+    ok &= _boundary_ok(nk, offsets, 3)
+    # repeat-within-max_dist as max_dist shifted compares (no sort):
+    # rep[i] = any j in [1, max_dist] with keys[i-j] == keys[i], both
+    # ok.  A boundary between i-j and i implies an invalid (not-ok)
+    # triplet in between only when j >= 3; for j < 3 the previous-read
+    # triplet could alias, so the shifted compare also requires no read
+    # end inside (i-j, i] -- tracked with a cheap distance-to-read-start
+    # uint8 plane.
+    rep_b = np.zeros(nk, dtype=bool)
+    dstart = np.minimum(
+        np.arange(nk, dtype=np.int64) -
+        np.repeat(offsets[:-1], np.diff(offsets))[:nk], 255
+    ).astype(np.uint8)
+    for j in range(1, max_dist + 1):
+        if j >= nk:
+            break
+        m = (keys[j:] == keys[:-j]) & ok[j:] & ok[:-j] & (dstart[j:] >= j)
+        rep_b[j:] |= m
+    rep = rep_b.astype(np.int64)
     cs = np.concatenate([[0], np.cumsum(rep)])
     w = min(window, len(keys))
     if w < 8:
@@ -111,20 +164,20 @@ def tandem_mask(codes, offsets, k=12, max_period=500):
     keys, ok = _kmer_keys(codes, k)
     if len(keys) == 0:
         return mask
-    ro = _read_of(offsets, len(keys))
-    ok &= np.arange(len(keys), dtype=np.int64) + k <= offsets[ro + 1]
-    d = _prev_occurrence_dist(keys, ok)
-    pos = np.arange(len(keys), dtype=np.int64)
-    same_read = (pos - d) >= offsets[ro]
-    hit = ok & same_read & (d >= k) & (d <= max_period)
-    if not hit.any():
+    ok &= _boundary_ok(len(keys), offsets, k)
+    hp, hd = _near_repeat_hits(keys, ok, max_period)
+    if len(hp) == 0:
+        return mask
+    # same-read + period gates, evaluated only at the sparse hits
+    ro_hp = np.searchsorted(offsets, hp, side="right") - 1
+    keep = (hd >= k) & (hp - hd >= offsets[ro_hp])
+    hp, hd = hp[keep], hd[keep]
+    if len(hp) == 0:
         return mask
     # confirmation: a lone k-mer recurrence is not tandem evidence (a
     # random 12-mer collision would mask up to max_period bases); require
     # an adjacent hit with a consistent period, which true tandems give
     # at every position (TANmask's extended-self-alignment role)
-    hp = pos[hit]
-    hd = d[hit]
     conf = np.zeros(len(hp), dtype=bool)
     if len(hp) > 1:
         near = (hp[1:] - hp[:-1] <= 2 * k) & \
@@ -143,12 +196,24 @@ def tandem_mask(codes, offsets, k=12, max_period=500):
 
 
 def build_mask(codes, offsets, dust=True, tandem=True, **kw):
-    """Combined per-base soft mask for a flat store (bool array)."""
+    """Combined per-base soft mask for a flat store (bool array).
+
+    dust and tandem are independent and numpy-heavy (GIL released in
+    the sorts/ufuncs), so they run on two threads."""
     m = np.zeros(len(codes), dtype=bool)
+    jobs = []
     if dust:
-        m |= dust_mask(codes, offsets)
+        jobs.append(dust_mask)
     if tandem:
-        m |= tandem_mask(codes, offsets)
+        jobs.append(tandem_mask)
+    if len(jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(len(jobs)) as tpe:
+            for r in tpe.map(lambda f: f(codes, offsets), jobs):
+                m |= r
+        jobs = []
+    for f in jobs:
+        m |= f(codes, offsets)
     LOG.info("masking: %d/%d bases soft-masked (%.2f%%)",
              int(m.sum()), len(m), 100.0 * m.sum() / max(1, len(m)))
     return m
