@@ -280,10 +280,13 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
             len(rids_a) == len(rids_b) and
             np.array_equal(np.asarray(rids_a), np.asarray(rids_b)))
 
+    import time as _time
+    _t0 = _time.time()
     from ..ops import native
     use_native = native.available()
     index = BlockIndex(store, rids_b, params, build_tables=not use_native)
     K = params.k
+    _t_index = _time.time() - _t0
 
     # all A reads flattened and matched in one sorted join
     rids_a = np.asarray(rids_a, dtype=np.int64)
@@ -340,10 +343,15 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
                               int(c1[2][i1]), int(c1[3][i1]),
                               int(c1[4][i1])))
                 i1 += 1
-        LOG.debug("overlap_blocks: %d candidate pairs", len(cands))
+        _t_chain = _time.time() - _t0 - _t_index
         if aligner is None:
             aligner = extend_pairs_host
-        return aligner(store, index, rids_a, cands, params)
+        out = aligner(store, index, rids_a, cands, params)
+        LOG.info(
+            "overlap_blocks: %d cands; index %.1fs chain+merge %.1fs "
+            "align+emit %.1fs", len(cands), _t_index, _t_chain,
+            _time.time() - _t0 - _t_index - _t_chain)
+        return out
     else:
         keys, ok = _kmer_keys_flat(a_seed, K)
         pos = np.arange(len(keys), dtype=np.int64)
