@@ -423,16 +423,18 @@ class DeviceExtender:
             n_buckets += 1
             for ofs in range(0, len(idxs), B):
                 chunk = idxs[ofs:ofs + B]
-                sel = [np.zeros(B, np.int32) for _ in range(6)]
+                sel = np.zeros((6, B), np.int32)
                 for c in range(6):
-                    sel[c][:len(chunk)] = specs[c][chunk]
+                    sel[c, :len(chunk)] = specs[c][chunk]
+                # ONE H2D for all six spec vectors; rows sliced on device
+                # (six small asarrays per batch were latency-bound on the
+                # tunneled chip)
+                sel_d = jnp.asarray(sel)
                 qd, td = gather_fn(
-                    flat_d, jnp.asarray(sel[0]), jnp.asarray(sel[1]),
-                    jnp.asarray(sel[2]), jnp.asarray(sel[3]),
-                    jnp.asarray(sel[4]), jnp.asarray(sel[5]),
-                    L=L, fill_q=4, fill_t=5)
+                    flat_d, sel_d[0], sel_d[1], sel_d[2], sel_d[3],
+                    sel_d[4], sel_d[5], L=L, fill_q=4, fill_t=5)
                 inflight.append(
-                    (chunk, self._extend(qd, sel[1], td, sel[4])))
+                    (chunk, self._extend(qd, sel_d[1], td, sel_d[4])))
                 n_batches += 1
         _t_coll = _time.time()
         fetched = jax.device_get([outs for _, outs in inflight])
@@ -446,11 +448,18 @@ class DeviceExtender:
 
     def _batch_for(self, L):
         """Batch size for one padded length: aim for a constant cell count
-        per launch (fewer, fuller launches for short buckets) within
-        max_batch..4096, pallas block-size aligned."""
+        per launch (fewer, fuller launches for short buckets)."""
+        if self.use_pallas is not False:
+            # the pallas kernel holds no per-batch move planes, so batch
+            # size is bounded by in-flight input planes, not kernel
+            # memory; fewer, fatter batches amortize the per-dispatch
+            # host->device round-trips that dominate on a networked chip
+            # (~38ms RTT x ~2000 batches ~= 100s at E. coli scale)
+            target_cells = self.max_batch * 65536
+            B = min(max(int(target_cells // max(L, 1)), 256), 4096)
+            # one pallas grid block is 256 rows; keep B a multiple
+            return max(256, (B // 256) * 256)
         target_cells = self.max_batch * 8192
         B = max(int(target_cells // max(L, 1)), self.max_batch)
         B = min(B, 4096)
-        # one pallas grid block is 256 rows; keep B a multiple
-        return max(256, (B // 256) * 256) if self.use_pallas is not False \
-            else max(8, 1 << int(np.ceil(np.log2(B))))
+        return max(8, 1 << int(np.ceil(np.log2(B))))
