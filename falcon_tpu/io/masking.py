@@ -46,6 +46,11 @@ def _near_repeat_hits(keys, ok, max_period, chunk=8192):
     if m < 2:
         return (np.zeros(0, np.int64),) * 2
     assert chunk > max_period
+    # the packing puts pos in the low 32 bits and the key in the upper
+    # 31: a flat store >= 2^32 bases or keys >= 2^31 (K >= 16) would
+    # silently corrupt the packed order -> wrong masks
+    assert pos[-1] < np.int64(1) << 32, "flat store too large to pack"
+    assert int(keys.max()) < 1 << 31, "k-mer keys too wide to pack (K>=16?)"
     packed = (keys[pos].astype(np.int64) << 32) | pos
     step = chunk - max_period
     nrows = max(1, -(-(m - max_period) // step))

@@ -82,9 +82,28 @@ def adapt(job_dir, out_dir):
             if fofns:
                 base = os.path.dirname(fofns[0])
                 with open(fofns[0]) as f:
-                    shards = [os.path.join(base, ln.strip())
-                              for ln in f if ln.strip()]
-                break
+                    entries = [ln.strip() for ln in f if ln.strip()]
+                # The reference's consensus_gather_fasta_fofn.py writes
+                # ABSOLUTE paths, so a copied/archived run tree yields
+                # stale entries.  Resolve each: relative entries join
+                # with the FOFN dir; stale absolute entries retry by
+                # basename next to the FOFN.  Any unresolvable entry
+                # invalidates the FOFN (fall through to the globs).
+                resolved = []
+                for e in entries:
+                    cand = e if os.path.isabs(e) else os.path.join(base, e)
+                    if not os.path.isfile(cand):
+                        cand = os.path.join(base, os.path.basename(e))
+                    if not os.path.isfile(cand):
+                        LOG.warning(
+                            "adopt: FOFN entry %r not found (stale "
+                            "path?); ignoring %s", e, fofns[0])
+                        resolved = None
+                        break
+                    resolved.append(cand)
+                if resolved:
+                    shards = resolved
+                    break
         if not shards:
             for pat in ("out.*.fasta", "cns_*.fasta", "consensus.*.fasta"):
                 shards = [p for p in _walk_matches(job_dir, pat)

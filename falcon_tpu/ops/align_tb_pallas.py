@@ -184,13 +184,16 @@ def _bwd_kernel(mv_ref, bi_ref, bj_ref, out_ref, st_ref, W, n_sb):
         st_ref[:, 2] = dd
 
 
-@functools.partial(jax.jit, static_argnames=("W", "end_bonus", "block_b"))
+@functools.partial(jax.jit, static_argnames=("W", "end_bonus", "block_b",
+                                              "interpret"))
 def align_tb_batch_pallas(q, qlen, t, tlen, W=256, end_bonus=3,
-                          block_b=256):
+                          block_b=256, interpret=False):
     """Pallas version of ops.align_tb.align_tb_batch (int8 inputs).
 
     q: [B, L] int8 codes (pad 4); t: [B, L] int8 codes (pad 5).
     B a multiple of block_b; L a multiple of 2*SB.
+    interpret=True runs both kernels in pallas interpret mode (CPU
+    parity tests; mosaic is TPU-only).
     Returns (best_i, best_j, best_d, moves[S, B] int8 end->start order).
     """
     B, L = q.shape
@@ -259,6 +262,7 @@ def align_tb_batch_pallas(q, qlen, t, tlen, W=256, end_bonus=3,
             pltpu.VMEM((block_b, W), jnp.int32),   # per-lane stamp
             pltpu.VMEM((block_b, W), jnp.int32),   # per-lane distance
         ],
+        interpret=interpret,
     )(qwin, twin, qlen2, tlen2, minlen)
 
     bkern = functools.partial(_bwd_kernel, W=W, n_sb=n_sb)
@@ -279,6 +283,7 @@ def align_tb_batch_pallas(q, qlen, t, tlen, W=256, end_bonus=3,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_sb, 2 * SB, B), jnp.int8),
         scratch_shapes=[pltpu.VMEM((block_b, 4), jnp.int32)],
+        interpret=interpret,
     )(planes, bi[:, 0:1], bj[:, 0:1])
 
     # [n_sb, 2*SB, B] with s-1 = 2*SB*sb + slot ascending -> [S, B]

@@ -81,17 +81,9 @@ def test_tb_pallas_interpret_matches_xla(W, L):
     q, qlen, t, tlen = _pairs(B, L, err=0.15, seed=7)
     ref = align_tb_batch(jnp.asarray(q), jnp.asarray(qlen),
                          jnp.asarray(t), jnp.asarray(tlen), W=W)
-    # interpret mode: patch pallas_call through the module's pl
-    import functools
-    from jax.experimental import pallas as pl
-    orig = pl.pallas_call
-    tbp.pl.pallas_call = functools.partial(orig, interpret=True)
-    try:
-        got = tbp.align_tb_batch_pallas(
-            jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
-            jnp.asarray(tlen), W=W, block_b=B)
-    finally:
-        tbp.pl.pallas_call = orig
+    got = tbp.align_tb_batch_pallas(
+        jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
+        jnp.asarray(tlen), W=W, block_b=B, interpret=True)
     for name, a, b in zip("i j d moves".split(), ref, got):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg="tb %s differs" % name)
