@@ -30,6 +30,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 INF32 = np.int32(1 << 20)
 NEG_INF32 = np.int32(-(1 << 30))
+# NOTE on int16 carries: the wavefront values are bounded well inside
+# int16 and halving the carry width would double VPU lane throughput, but
+# this toolchain's mosaic legalizes almost no 16-bit vector ops on v5e
+# (arith.minsi/muli/select on vector<...xi16> all fail; only add works),
+# so the carries stay int32 and the roofline lever is the LEAN super-block
+# class below instead (measured probe: round 3).
 SB = 32          # 2-step pairs per super-block (2*SB anti-diagonals);
                  # deeper super-blocks amortize per-grid-step overhead
                  # (+34% measured at W=256, L=8192 vs SB=8)
@@ -70,15 +76,23 @@ def _kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
     o_base = SB * sb - W // 2   # o at the first (odd) step of this block
 
     def do_step(s_off, o_rel, rel_q, rel_t, d1, prev_ref, prev2cur_ref,
-                fast):
+                mode):
         """One anti-diagonal.  s = 2*SB*sb + s_off; o = o_base + o_rel.
         All slice offsets (rel_q, rel_t, d1) are python ints.
 
-        fast=True drops the DP-boundary writes and the i>=0 / j>=0 mask
-        terms: an i==0 lane needs o <= 0 (s <= W+1) and a j==0 lane needs
-        s <= W-2, so any super-block whose first step exceeds W+1 can
-        never touch row/column 0 of the DP matrix -- and there o >= 1
-        makes i >= 1 and min(j) = ceil(s/2) - W/2 + 1 >= 2 for free."""
+        mode selects the per-class op diet:
+          "boundary": full path -- DP row/column-0 writes + i>=0 / j>=0
+            mask terms.  Only super-blocks whose first step is <= W+1
+            can touch row/column 0.
+          "fast": drops the boundary writes (interior blocks have i >= 1
+            and j >= 2 for free) but keeps the sequence-end validity
+            mask and the scalar-guarded best tracking.
+          "lean": the bulk of the scan -- the block-level scalar guard
+            proved NO lane of ANY row in this tile can reach i == qlen
+            or j == tlen inside this super-block, so every lane is a
+            valid DP cell: no mask, no INF clamp (int32 headroom makes
+            +1 drift from INF harmless), no tracking.  ~6 VPU ops/cell
+            instead of ~12."""
         o = o_base + o_rel
         s = 2 * SB * sb + s_off
 
@@ -94,7 +108,10 @@ def _kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
         sub = jnp.minimum(d * d, jnp.int32(1))
 
         cand = jnp.minimum(jnp.minimum(up, left) + jnp.int32(1), diag + sub)
-        if fast:
+        if mode == "lean":
+            prev2cur_ref[:, 2:2 + W] = cand
+            return
+        if mode == "fast":
             # i <= qlen  <=>  lanes <= qlen - o;  j <= tlen  <=>
             # lanes >= (s - o) - tlen  (both rhs are [BT, 1] columns)
             valid = ((lanes <= qlen - jnp.int32(o)) &
@@ -102,7 +119,7 @@ def _kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
         else:
             i = o + lanes
             j = s - i
-            # DP boundary rows/cols (values clipped into int16 range)
+            # DP boundary rows/cols
             bnd_j = jnp.minimum(j, INF32)
             bnd_i = jnp.minimum(i, INF32)
             cand = jnp.where(i == 0, bnd_j, cand)
@@ -131,27 +148,38 @@ def _kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
 
         prev2cur_ref[:, 2:2 + W] = cur
 
-    def steps(fast):
+    def steps(mode):
         for m in range(SB):
             # odd step s = 2*SB*sb + 2m + 1: o_rel = m; (d1, d2) = (0, 1)
             do_step(2 * m + 1, m, m, SB - m, 0, carry0_ref, carry1_ref,
-                    fast)
+                    mode)
             # even step: o_rel = m + 1; (d1, d2) = (1, 1)
             do_step(2 * m + 2, m + 1, m + 1, SB - m, 1, carry1_ref,
-                    carry0_ref, fast)
+                    carry0_ref, mode)
 
     # super-blocks whose first step s0 = 2*SB*sb + 1 <= W + 1 may touch
-    # DP row/column 0 and need the guarded body; the rest take the lean
-    # path (for W=256, SB=8 that is 17 of L/SB super-blocks)
+    # DP row/column 0 and need the guarded body; the rest take the fast
+    # path, and of those, blocks proven (per batch-tile, via the minlen
+    # scalars) unable to reach any sequence end take the lean path:
+    #   max i in block = o_base + SB + (W - 1)  <  min qlen, and
+    #   max j in block = max (s - o) = SB*(sb + 1) + W/2  <  min tlen
+    # (strict: i == qlen / j == tlen are exactly the boundary cells the
+    # tracker must see, so lean blocks must not contain them either).
     NBB = W // (2 * SB) + 1
+    lean_ok = ((o_base + SB + W - 1 < min_q) &
+               (SB * (sb + 1) + W // 2 < min_t))
 
     @pl.when(sb < NBB)
     def _boundary_blocks():
-        steps(fast=False)
+        steps("boundary")
 
-    @pl.when(sb >= NBB)
+    @pl.when((sb >= NBB) & ~lean_ok)
     def _interior_blocks():
-        steps(fast=True)
+        steps("fast")
+
+    @pl.when((sb >= NBB) & lean_ok)
+    def _lean_blocks():
+        steps("lean")
 
     # one cross-lane reduction per super-block visit: global max score,
     # then among max-score lanes the smallest stamp (earliest step, then
@@ -254,7 +282,7 @@ def extend_batch_pallas(q, qlen, t, tlen, W=256, end_bonus=3, block_b=256,
                                 memory_space=pltpu.VMEM)] * 3,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((block_b, W + 4), jnp.int32),
+            pltpu.VMEM((block_b, W + 4), jnp.int32),  # wavefront carries
             pltpu.VMEM((block_b, W + 4), jnp.int32),
             pltpu.VMEM((block_b, W), jnp.int32),   # per-lane best score
             pltpu.VMEM((block_b, W), jnp.int32),   # per-lane stamp

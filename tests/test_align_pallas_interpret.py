@@ -31,7 +31,10 @@ def _pairs(B, L, err, seed):
     return q, qlen, t, tlen
 
 
-@pytest.mark.parametrize("W,L", [(64, 128), (64, 256)])
+# (64, 512) exercises the LEAN super-block class: with min len ~460 the
+# scalar guard proves blocks sb=2..12 boundary-free, so the mask-free
+# no-clamp body runs and must still match the XLA kernel exactly
+@pytest.mark.parametrize("W,L", [(64, 128), (64, 256), (64, 512)])
 def test_pallas_interpret_matches_xla(W, L):
     import jax.numpy as jnp
     from falcon_tpu.ops.align_device import extend_batch_device
