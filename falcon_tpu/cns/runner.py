@@ -144,20 +144,81 @@ def gate_group(seed_id, seqs_with_ids, cfg):
     return None
 
 
+def _generate(seqs, cfg):
+    from ..ops import native
+    if native.available():
+        return native.generate_consensus(seqs, cfg.min_cov, cfg.K,
+                                         cfg.min_idt)
+    return consensus_dp.generate_consensus(
+        seqs, min_cov=cfg.min_cov, K=cfg.K, min_idt=cfg.min_idt)
+
+
 def consensus_for_group(seed_id, seqs, cfg):
     """(consensus_str, seed_id) for one gated group.  Uses the native C++
     kernel when available (identical output; see ops.native)."""
     if len(seqs) > cfg.max_n_read:
         seqs = get_longest_reads(seqs, cfg.max_n_read, cfg.max_cov_aln,
                                  sort=True)
-    from ..ops import native
-    if native.available():
-        cns = native.generate_consensus(seqs, cfg.min_cov, cfg.K,
-                                        cfg.min_idt)
-    else:
-        cns = consensus_dp.generate_consensus(
-            seqs, min_cov=cfg.min_cov, K=cfg.K, min_idt=cfg.min_idt)
-    return cns, seed_id
+    return _generate(seqs, cfg), seed_id
+
+
+def get_alignment_for_trim(seq, seed, edge_tolerance=1000):
+    """Support/seed k-mer chain used by the --trim pre-alignment pass.
+
+    Bit-exact reimplementation of the reference's module-level
+    get_alignment (falcon_kit/mains/consensus.py:48-99): K=8 lookup over
+    the seed masked at freq 16, find_best_aln_range2(K*50, 25), ends
+    padded by K + K//2 and clamped, then edge-tolerance gating.  Returns
+    (s1, e1, s0, e0, aln_size, aln_score, "aln"|"none") where s1/e1 are
+    coords on `seq` and s0/e0 on `seed`."""
+    from ..ops import kmer
+    K = 8
+    lk = kmer.KmerLookup(seed, K)
+    lk.mask(16)
+    qp, tp = lk.find_kmer_pos_for_seq(seq)
+    r = kmer.find_best_aln_range2(qp, tp, K, K * 50, 25)
+    s1, e1, s0, e0, km_score = r.s1, r.e1, r.s2, r.e2, r.score
+    e1 = min(e1 + K + K // 2, len(seq))
+    e0 = min(e0 + K + K // 2, len(seed))
+    aln_size = 1
+    aln_score = 0
+    if e1 - s1 > 500:
+        aln_size = max(e1 - s1, e0 - s0)
+        aln_score = int(km_score * 48)
+    if s1 > edge_tolerance and s0 > edge_tolerance:
+        return 0, 0, 0, 0, 0, 0, "none"
+    if len(seq) - e1 > edge_tolerance and len(seed) - e0 > edge_tolerance:
+        return 0, 0, 0, 0, 0, 0, "none"
+    if e1 - s1 > 500 and aln_size > 500:
+        return s1, e1, s0, e0, aln_size, aln_score, "aln"
+    return 0, 0, 0, 0, 0, 0, "none"
+
+
+def consensus_with_trim_for_group(seed_id, seqs, cfg):
+    """--trim variant: pre-align each support to the seed with the k-mer
+    chain, drop non-aligning supports, cut trim_size off both ends of
+    each aligned span, sort longest-span first, re-cap, then run the
+    consensus kernel (reference: get_consensus_with_trim,
+    falcon_kit/mains/consensus.py:123-158; the duplicated seed at
+    seqs[1] goes through the same trim pass by design)."""
+    seed = seqs[0]
+    trim_seqs = []
+    for seq in seqs[1:]:
+        (s1, e1, _s0, _e0, _aln_size, aln_score,
+         c_status) = get_alignment_for_trim(seq, seed, cfg.edge_tolerance)
+        if c_status == "none":
+            continue
+        if aln_score > 1000 and e1 - s1 > 500:
+            e1 -= cfg.trim_size
+            s1 += cfg.trim_size
+            trim_seqs.append((e1 - s1, seq[s1:e1]))
+    trim_seqs.sort(key=lambda x: -x[0])  # longest alignment first
+    trim_seqs = [seed] + [x[1] for x in trim_seqs]
+    if len(trim_seqs[1:]) > cfg.max_n_read:
+        # already sorted; don't sort again
+        trim_seqs = get_longest_reads(trim_seqs, cfg.max_n_read,
+                                      cfg.max_cov_aln, sort=False)
+    return _generate(trim_seqs, cfg), seed_id
 
 
 def format_output(cns, seed_id, cfg, out):
@@ -195,6 +256,8 @@ def format_output(cns, seed_id, cfg, out):
 
 def _pool_worker(task):
     seed_id, seqs, cfg = task
+    if cfg.trim:
+        return consensus_with_trim_for_group(seed_id, seqs, cfg)
     return consensus_for_group(seed_id, seqs, cfg)
 
 

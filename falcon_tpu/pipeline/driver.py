@@ -22,7 +22,7 @@ from ..cns import runner as cns_runner
 from ..graph import to_contig, unitigs
 from ..graph.collect_gfa import collect_contig_gfa, collect_pread_gfa
 from ..graph.gfa import deserialize_gfa
-from ..io import fasta, readstore
+from ..io import fasta, integrity, readstore
 from ..overlap import engine, filter as ofilter, records
 from ..overlap import table as otable
 from . import stats as stats_mod
@@ -32,6 +32,12 @@ LOG = logging.getLogger(__name__)
 
 def _done(path):
     return os.path.exists(path)
+
+
+def _resumable(path, what):
+    """Artifact-presence resume + integrity gate (the LAcheck analog,
+    io.integrity): present AND not failing its sidecar check."""
+    return os.path.exists(path) and integrity.check_resume(path, what)
 
 
 class Pipeline:
@@ -123,14 +129,14 @@ class Pipeline:
     # -- phase 0: raw reads -> preads --------------------------------------
     def phase0(self):
         preads_fn = os.path.join(self.dir0, "preads.fasta")
-        if _done(preads_fn):
+        if _resumable(preads_fn, "phase0 preads"):
             LOG.info("phase0: %s exists; skipping", preads_fn)
             return preads_fn
         t_start = time.time()
         p = self.p
 
         store_fn = os.path.join(self.dir0, "raw_reads")
-        if _done(store_fn + ".npz"):
+        if _resumable(store_fn + ".npz", "phase0 readstore"):
             store = readstore.ReadStore.load(store_fn)
         else:
             fofn = self.cfg["input_fofn"]
@@ -145,6 +151,7 @@ class Pipeline:
                 self.timings["phase0_masking"] = time.time() - t_mask
             store.split_blocks(int(p.raw_block_mb * 1e6))
             store.save(store_fn)
+            integrity.write_sidecar(store_fn + ".npz", rows=len(store))
         LOG.info("phase0: %d raw reads, %d bases, %d blocks",
                  len(store), store.total_bases, len(store.blocks))
 
@@ -159,7 +166,7 @@ class Pipeline:
             f.write(str(cutoff) + "\n")
 
         ovl_fn = os.path.join(self.dir0, "raw_overlaps.ovl")
-        if _done(ovl_fn):
+        if _resumable(ovl_fn, "phase0 overlap table"):
             # resume: the overlap table is phase0's mid-phase checkpoint
             LOG.info("phase0: %s exists; skipping overlap", ovl_fn)
             recs = otable.read_table(ovl_fn)
@@ -170,6 +177,7 @@ class Pipeline:
             self.timings["phase0_overlap"] = time.time() - t_start
             otable.write_table(ovl_fn + ".tmp", recs, terminator=True)
             os.rename(ovl_fn + ".tmp", ovl_fn)
+            integrity.write_sidecar(ovl_fn, rows=len(recs))
         if self.p.target == "overlapping":
             # reference: fc_run exits after stage-0 overlap for this
             # target (run1.py:401-402)
@@ -186,7 +194,13 @@ class Pipeline:
             (p.cns_nproc or os.cpu_count() or 1)
         use_dev_cns = (self.p.use_device and
                        os.environ.get("FTPU_CNS_DEVICE", "1") != "0" and
+                       not ccfg.trim and
                        self._aligner() is not None)
+        if ccfg.trim and self.p.use_device:
+            # --trim pre-aligns each support with the k-mer chain and cuts
+            # the aligned span before consensus; that path runs through
+            # the host runner (cns.runner.consensus_with_trim_for_group)
+            LOG.info("phase0: --trim set; using host consensus runner")
 
         def groups():
             a_ids = recs["a_id"]
@@ -210,6 +224,7 @@ class Pipeline:
                     ((sid, [(rid, seq) for rid, seq, _ in items])
                      for sid, items in live), ccfg, out, n_core=n_core)
         os.rename(preads_fn + ".tmp", preads_fn)
+        integrity.write_sidecar(preads_fn, rows=emitted)
         self.timings["phase0_consensus"] = time.time() - t_cns
         LOG.info("phase0: %d pread sequences -> %s", emitted, preads_fn)
 
@@ -266,7 +281,8 @@ class Pipeline:
     def phase1(self, preads_fn):
         ovl_fn = os.path.join(self.dir1, "preads.ovl")
         p4f = os.path.join(self.dir2, "preads4falcon.fasta")
-        if _done(ovl_fn) and _done(p4f):
+        if _resumable(ovl_fn, "phase1 preads.ovl") and \
+                _resumable(p4f, "phase1 preads4falcon"):
             LOG.info("phase1: %s exists; skipping", ovl_fn)
             return ovl_fn
         t_start = time.time()
@@ -287,6 +303,7 @@ class Pipeline:
                 f.write("%s %s\n" % (pid, name))
         fasta.write_fasta(p4f, ((names[i], store.get_seq(i))
                                 for i in range(len(store))))
+        integrity.write_sidecar(p4f, rows=len(store))
 
         recs = self._overlap_store(store, self._engine_params(1), "phase1")
         self.timings["phase1_overlap"] = time.time() - t_start
@@ -297,6 +314,7 @@ class Pipeline:
                 max_cov=p.filt_max_cov, min_cov=p.filt_min_cov,
                 min_len=p.filt_min_len, bestn=p.filt_bestn)
         os.rename(ovl_fn + ".tmp", ovl_fn)
+        integrity.write_sidecar(ovl_fn)
         return ovl_fn
 
     # -- phase 2: assembly --------------------------------------------------
