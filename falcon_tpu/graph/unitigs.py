@@ -694,7 +694,14 @@ def construct_c_path_from_utgs(ug, u_edge_data, best_in_of, compat=False):
                 length, score, path_or_edges, type_ = u_edge_data[(t0, t, v)]
 
                 # If the next node has >1 in-edges, only extend through the
-                # best-in edge (ovlp_to_graph.py:1306-1328).
+                # best-in edge (ovlp_to_graph.py:1306-1328).  In --lfc
+                # mode the reference never populates best_in (only
+                # mark_best_overlap does) and CRASHES with KeyError at
+                # this line on any multi-in-edge junction
+                # (ovlp_to_graph.py:1314); .get() makes the missing-entry
+                # case terminate the extension instead -- the
+                # conservative choice the surrounding reference comment
+                # describes ("Otherwise, we will terminate").
                 if len(ug.in_edges(t)) > 1:
                     best_in_node = best_in_of.get(t)
                     if type_ == "simple" and \

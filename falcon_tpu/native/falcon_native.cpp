@@ -20,6 +20,7 @@
 #include <cstring>
 #include <climits>
 #include <string>
+#include <tuple>
 #include <unordered_map>
 #include <vector>
 
@@ -787,9 +788,13 @@ static void radix_sort_kv(vector<Kv>& v, int bits) {
 //   hit key = pair(a,b) * nbins + bin(qpos - tpos), radix-sorted;
 //   per (pair, bin) run: count + min packed (qpos<<21|tpos);
 //   window = run + next run when it is the pair's adjacent bin;
-//   best window per pair by (count desc, bin asc), >= min_hits;
+//   top-k DISJOINT windows per pair by (count desc, bin asc), each
+//   >= min_hits (after a selection, runs within +-1 bin are suppressed
+//   -- the daligner multiple-local-alignments analog);
 //   anchor = window run's min, or the adjacent run's min when that one
-//   starts strictly earlier on the query.
+//   starts strictly earlier on the query;
+//   per-pair candidates emitted sorted by (qpos, tpos, count) to match
+//   the numpy path's deterministic order.
 // filter_mode: 0 = none, 1 = keep rids_a[a] < rids_b[b], 2 = keep !=.
 // Returns n candidates; out6 = six int32 arrays (a, b, strand is the
 // caller's, qpos, tpos, n_seeds) -- caller frees with ftpu_free_i32.
@@ -797,7 +802,7 @@ long ftpu_seed_chain_impl(const uint8_t* q_codes, const int64_t* q_offsets,
                           long n_q, const uint8_t* t_codes,
                           const int64_t* t_offsets, long n_t, int K,
                           int stride, int max_freq, int bin_size,
-                          int min_hits, int filter_mode,
+                          int min_hits, int filter_mode, int topk,
                           const int64_t* rids_a, const int64_t* rids_b,
                           int32_t** out5) {
   const int SHIFT = 34;
@@ -891,25 +896,49 @@ long ftpu_seed_chain_impl(const uint8_t* q_codes, const int64_t* q_offsets,
       rcnt.push_back(c);
       rmin.push_back(mn);
     }
-    // best window: count(run)+count(adjacent next) desc, then bin asc
-    long best = -1;
-    int64_t best_comb = -1;
+    // top-k windows: count(run)+count(adjacent next) desc, then bin
+    // asc; after each pick, suppress runs within +-1 bin (a window
+    // covers bins {b, b+1}; disjointness needs |b' - b| >= 2).  comb
+    // values are computed once (not re-derived after suppression) --
+    // the numpy _chain_candidates does the same.
     const long nr = (long)rbin.size();
+    std::vector<int64_t> comb(nr);
     for (long x = 0; x < nr; ++x) {
-      int64_t comb = rcnt[x];
-      if (x + 1 < nr && rbin[x + 1] == rbin[x] + 1) comb += rcnt[x + 1];
-      if (comb > best_comb) { best_comb = comb; best = x; }
+      comb[x] = rcnt[x];
+      if (x + 1 < nr && rbin[x + 1] == rbin[x] + 1) comb[x] += rcnt[x + 1];
     }
-    if (best < 0 || best_comb < min_hits) continue;
-    uint64_t anchor = rmin[best];
-    if (best + 1 < nr && rbin[best + 1] == rbin[best] + 1 &&
-        (rmin[best + 1] >> 21) < (anchor >> 21))
-      anchor = rmin[best + 1];
-    oa.push_back((int32_t)(pair / (uint64_t)n_t));
-    ob.push_back((int32_t)(pair % (uint64_t)n_t));
-    oq.push_back((int32_t)(anchor >> 21));
-    ot.push_back((int32_t)(anchor & ((1ULL << 21) - 1)));
-    oc.push_back((int32_t)std::min<int64_t>(best_comb, INT32_MAX));
+    std::vector<char> alive(nr, 1);
+    // per-pair candidates (qpos, tpos, count), sorted before emission
+    std::vector<std::tuple<int32_t, int32_t, int32_t>> pcands;
+    for (int round = 0; round < (topk > 0 ? topk : 1); ++round) {
+      long best = -1;
+      int64_t best_comb = -1;
+      for (long x = 0; x < nr; ++x)
+        if (alive[x] && comb[x] > best_comb) {
+          best_comb = comb[x];
+          best = x;
+        }
+      if (best < 0 || best_comb < min_hits) break;
+      uint64_t anchor = rmin[best];
+      if (best + 1 < nr && rbin[best + 1] == rbin[best] + 1 &&
+          (rmin[best + 1] >> 21) < (anchor >> 21))
+        anchor = rmin[best + 1];
+      pcands.emplace_back((int32_t)(anchor >> 21),
+                          (int32_t)(anchor & ((1ULL << 21) - 1)),
+                          (int32_t)std::min<int64_t>(best_comb, INT32_MAX));
+      const uint64_t b0 = rbin[best];
+      for (long x = 0; x < nr; ++x)
+        if (alive[x] && rbin[x] + 1 >= b0 && rbin[x] <= b0 + 1)
+          alive[x] = 0;
+    }
+    std::sort(pcands.begin(), pcands.end());
+    for (const auto& pc : pcands) {
+      oa.push_back((int32_t)(pair / (uint64_t)n_t));
+      ob.push_back((int32_t)(pair % (uint64_t)n_t));
+      oq.push_back(std::get<0>(pc));
+      ot.push_back(std::get<1>(pc));
+      oc.push_back(std::get<2>(pc));
+    }
   }
   const long n = (long)oa.size();
   const size_t sz = sizeof(int32_t) * (n ? n : 1);
@@ -983,11 +1012,12 @@ long ftpu_seed_chain(const uint8_t* q_codes, const int64_t* q_offsets,
                      long n_q, const uint8_t* t_codes,
                      const int64_t* t_offsets, long n_t, int K,
                      int stride, int max_freq, int bin_size, int min_hits,
-                     int filter_mode, const int64_t* rids_a,
+                     int filter_mode, int topk, const int64_t* rids_a,
                      const int64_t* rids_b, int32_t** out5) {
   return ftpu_seed_chain_impl(q_codes, q_offsets, n_q, t_codes, t_offsets,
                               n_t, K, stride, max_freq, bin_size,
-                              min_hits, filter_mode, rids_a, rids_b, out5);
+                              min_hits, filter_mode, topk, rids_a, rids_b,
+                              out5);
 }
 
 long ftpu_seed_hits_idx(const uint8_t* q_codes, const int64_t* q_offsets,

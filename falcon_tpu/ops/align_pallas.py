@@ -36,9 +36,11 @@ NEG_INF32 = np.int32(-(1 << 30))
 # (arith.minsi/muli/select on vector<...xi16> all fail; only add works),
 # so the carries stay int32 and the roofline lever is the LEAN super-block
 # class below instead (measured probe: round 3).
-SB = 32          # 2-step pairs per super-block (2*SB anti-diagonals);
+SB = 64          # 2-step pairs per super-block (2*SB anti-diagonals);
                  # deeper super-blocks amortize per-grid-step overhead
-                 # (+34% measured at W=256, L=8192 vs SB=8)
+                 # (W=256, L=8192 sweep: SB=16 56M, SB=32 69.6M,
+                 # SB=64 83.9M bases/s; L buckets are >= 256 so
+                 # L % SB == 0 holds)
 WINW = None      # window width = W + 2*SB (set per call)
 
 

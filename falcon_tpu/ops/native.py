@@ -77,8 +77,8 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.POINTER(ctypes.c_void_p)]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p)]
     lib.ftpu_seed_chain.restype = ctypes.c_long
     return lib
 
@@ -274,12 +274,16 @@ def moves_to_alns(packed, lanes, q_list, t_list):
 
 
 def seed_chain(q_codes, q_offsets, t_codes, t_offsets, K, stride,
-               max_freq, bin_size, min_hits, filter_mode, rids_a, rids_b):
+               max_freq, bin_size, min_hits, filter_mode, rids_a, rids_b,
+               topk=3):
     """Fused seed join + diagonal-window chaining for one strand.
 
     filter_mode: 0 none, 1 keep rids_a[a] < rids_b[b], 2 keep !=.
+    topk: disjoint diagonal windows emitted per pair (daligner's
+    multiple-local-alignments analog).
     Returns int32 arrays (a_idx, b_idx, q_anchor, t_anchor, n_seeds),
-    pairs ascending by (a_idx, b_idx).  Exact semantics of
+    pairs ascending by (a_idx, b_idx), per-pair candidates by
+    (q_anchor, t_anchor).  Exact semantics of
     overlap.engine._chain_candidates (tests/test_engine_chain.py)."""
     import numpy as np
     lib = get_lib()
@@ -299,7 +303,7 @@ def seed_chain(q_codes, q_offsets, t_codes, t_offsets, K, stride,
     n = lib.ftpu_seed_chain(
         q_codes.ctypes.data, q_offsets.ctypes.data, len(q_offsets) - 1,
         t_codes.ctypes.data, t_offsets.ctypes.data, len(t_offsets) - 1,
-        K, stride, max_freq, bin_size, min_hits, filter_mode,
+        K, stride, max_freq, bin_size, min_hits, filter_mode, topk,
         rids_a.ctypes.data, rids_b.ctypes.data, out5)
     try:
         arrs = [np.ctypeslib.as_array(

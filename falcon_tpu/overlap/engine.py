@@ -39,7 +39,7 @@ _A = np.frombuffer(b"ACGT", dtype=np.uint8)
 class OverlapParams:
     def __init__(self, k=14, max_kmer_freq=32, min_hits=4, bin_size=256,
                  band_tolerance=250, min_overlap=1000, min_idt=0.0,
-                 stride=4):
+                 stride=4, topk=3):
         self.k = k
         self.max_kmer_freq = max_kmer_freq   # daligner -t analog
         self.min_hits = min_hits             # seeds needed per candidate
@@ -48,6 +48,14 @@ class OverlapParams:
         self.min_overlap = min_overlap       # daligner -l analog
         self.min_idt = min_idt               # fraction, e.g. 0.70
         self.stride = stride                 # A-read k-mer stride
+        # top-k DISJOINT diagonal windows extended per (a, b, strand):
+        # daligner emits every local alignment of a pair (repeat-crossing
+        # pairs legitimately produce 2+ .las records consumed by
+        # ovlp_filter, reference ovlp_filter.py:112-191); one window per
+        # pair loses the true dovetail overlap whenever a repeat window
+        # out-seeds it.  Extended records that converge to the same
+        # extents are deduped after alignment.
+        self.topk = topk
 
 
 def _codes_to_ascii(codes):
@@ -194,6 +202,10 @@ def _chain_candidates(qpos, tpos, a_read, b_read, strand, params):
     Returns list of (a_idx, b_idx, strand, q_anchor, t_anchor, n_seeds)
     with anchors at the min-qpos hit of the densest diagonal band
     (ties: min tpos -- deterministic regardless of hit emission order).
+    Up to params.topk DISJOINT windows are emitted per pair, best first
+    (after each selection the selected window's bins +-1 are suppressed),
+    each with >= min_hits combined seeds -- the daligner
+    multiple-local-alignments analog.
     One composite int64 sort key instead of a 5-key lexsort: this runs
     over tens of millions of hits per block pair."""
     if len(qpos) == 0:
@@ -236,15 +248,40 @@ def _chain_candidates(qpos, tpos, a_read, b_read, strand, params):
         comb[:-1] += np.where(adj, run_counts[1:], 0)
         has_next[:-1] = adj
 
-    # best run per pair: (pair, -comb, run index); first wins
-    order2 = np.lexsort((np.arange(nr), -comb, run_pair))
-    first_of_pair = np.ones(nr, dtype=bool)
-    rp_sorted = run_pair[order2]
-    first_of_pair[1:] = rp_sorted[1:] != rp_sorted[:-1]
-    best = order2[first_of_pair]
-    best = best[comb[best] >= params.min_hits]
-    if len(best) == 0:
+    # top-k windows per pair: k rounds of (pair, -comb, run index) pick
+    # the best remaining run of each pair, then suppress runs whose bin
+    # is within +-1 of the selection (the selected window covers bins
+    # {b, b+1}; disjoint windows need |b' - b| >= 2)
+    run_bin = run_key - run_pairk * nbins
+    alive = np.ones(nr, dtype=bool)
+    best_rounds = []
+    for _round in range(max(1, params.topk)):
+        if not alive.any():
+            break
+        order2 = np.lexsort((np.arange(nr), -comb,
+                             np.where(alive, run_pair, nr + 1)))
+        ncand = int(alive.sum())
+        order2 = order2[:ncand]                 # dead runs sort last
+        first_of_pair = np.ones(len(order2), dtype=bool)
+        rp_sorted = run_pair[order2]
+        first_of_pair[1:] = rp_sorted[1:] != rp_sorted[:-1]
+        sel = order2[first_of_pair]
+        sel = sel[comb[sel] >= params.min_hits]
+        if len(sel) == 0:
+            break
+        best_rounds.append(sel)
+        # suppress the selected windows' bins +-1 within their pairs
+        sel_pair = run_pair[sel]
+        sel_bin = run_bin[sel]
+        # map every run to its pair's selected bin this round (pairs
+        # without a selection stay unsuppressed)
+        sel_of_pair = np.full(int(run_pair[-1]) + 2, -(1 << 40), np.int64)
+        sel_of_pair[sel_pair] = sel_bin
+        near = np.abs(run_bin - sel_of_pair[run_pair]) <= 1
+        alive &= ~near
+    if not best_rounds:
         return []
+    best = np.concatenate(best_rounds)
 
     # anchor: min-qpos hit of the winning run, or of its adjacent run
     # when that one starts earlier on the query (reference
@@ -261,8 +298,9 @@ def _chain_candidates(qpos, tpos, a_read, b_read, strand, params):
     q_sel = anchor >> 21
     t_sel = anchor & ((1 << 21) - 1)
     c_sel = comb[best]
-    return list(zip(a_sel.tolist(), b_sel.tolist(), s_sel.tolist(),
-                    q_sel.tolist(), t_sel.tolist(), c_sel.tolist()))
+    out = sorted(zip(a_sel.tolist(), b_sel.tolist(), s_sel.tolist(),
+                     q_sel.tolist(), t_sel.tolist(), c_sel.tolist()))
+    return out
 
 
 def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
@@ -317,12 +355,12 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
                             index.seed_fwd, index.offsets, K,
                             params.stride, params.max_kmer_freq,
                             params.bin_size, params.min_hits, fmode,
-                            rids_a, index.rids)
+                            rids_a, index.rids, params.topk)
             f1 = tpe.submit(native.seed_chain, a_seed, a_offsets,
                             index.seed_rev, index.offsets, K,
                             params.stride, params.max_kmer_freq,
                             params.bin_size, params.min_hits, fmode,
-                            rids_a, index.rids)
+                            rids_a, index.rids, params.topk)
             c0 = f0.result()
             c1 = f1.result()
         # merge the per-strand candidate lists to (a, b, strand) order
@@ -388,6 +426,38 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
     return aligner(store, index, rids_a, cands, params)
 
 
+def _dedup_extents(a_id, b_id, strand, a_s, a_e, b_s, b_e, dist, tol=50):
+    """Keep-mask dropping near-identical records of one (a, b, strand)
+    group: top-k windows of the SAME true overlap converge to the same
+    extents after extension -- keep the lowest-distance one.  Genuinely
+    distinct local alignments (a repeat pair's two placements differ in
+    at least one extent by >= tol) all survive, mirroring daligner's
+    multiple .las records per pair.  Rows must arrive grouped by
+    (a, b, strand), which both aligner paths guarantee."""
+    n = len(a_id)
+    keep = np.ones(n, dtype=bool)
+    if n < 2:
+        return keep
+    same = ((a_id[1:] == a_id[:-1]) & (b_id[1:] == b_id[:-1]) &
+            (strand[1:] == strand[:-1]))
+    starts = np.flatnonzero(np.r_[True, ~same])
+    ends = np.r_[starts[1:], n]
+    for s, e in zip(starts[ends - starts > 1], ends[ends - starts > 1]):
+        rows = sorted(range(s, e), key=lambda r: (dist[r], r))
+        kept = []
+        for r in rows:
+            for k in kept:
+                if (abs(a_s[r] - a_s[k]) < tol and
+                        abs(a_e[r] - a_e[k]) < tol and
+                        abs(b_s[r] - b_s[k]) < tol and
+                        abs(b_e[r] - b_e[k]) < tol):
+                    keep[r] = False
+                    break
+            else:
+                kept.append(r)
+    return keep
+
+
 def extend_pairs_host(store, index, rids_a, cands, params):
     """Anchor -> full overlap via two banded O(ND) extensions (host).
     Returns a columnar overlap table (overlap.table)."""
@@ -411,6 +481,9 @@ def extend_pairs_host(store, index, rids_a, cands, params):
     if not rows:
         return T.empty(0)
     c = np.asarray(rows, dtype=np.int64)
+    keep = _dedup_extents(c[:, 0], c[:, 1], c[:, 2], c[:, 3], c[:, 4],
+                          c[:, 6], c[:, 7], c[:, 9])
+    c = c[keep]
     return T.finalize(c[:, 0], c[:, 1], c[:, 2], c[:, 3], c[:, 4],
                       c[:, 5], c[:, 6], c[:, 7], c[:, 8], c[:, 9],
                       params.min_overlap, params.min_idt)
@@ -545,9 +618,14 @@ def make_device_aligner(W=512, end_bonus=3, max_batch=512):
         rev = strand == 1
         b_s2 = np.where(rev, blen - b_e, b_s)
         b_e2 = np.where(rev, blen - b_s, b_e)
+        a_ids = np.asarray(rids_a, np.int64)[ai]
+        b_ids = index.rids[bi]
+        keep = _dedup_extents(a_ids, b_ids, strand, a_s, a_e, b_s2, b_e2,
+                              dist)
         return T.finalize(
-            np.asarray(rids_a, np.int64)[ai], index.rids[bi], strand,
-            a_s, a_e, a_len, b_s2, b_e2, blen, dist,
+            a_ids[keep], b_ids[keep], strand[keep],
+            a_s[keep], a_e[keep], a_len[keep], b_s2[keep], b_e2[keep],
+            blen[keep], dist[keep],
             params.min_overlap, params.min_idt)
 
     return aligner

@@ -40,6 +40,20 @@ def main():
             f.write("\n".join(T.to_lines(got_tbl)) + "\n")
         return 0
 
+    if mode == "pipeline":
+        # FULL pipeline under jax.distributed: every phase runs on every
+        # host (overlap striped + gathered; consensus/graph replicated),
+        # each host writing its own out_dir like a cluster host with a
+        # local filesystem.  The test byte-compares the hosts' artifacts
+        # against each other and against a single-process run.
+        cfg_fn, out_base = sys.argv[2:4]
+        out_dir = out_base + "." + pid
+        os.makedirs(out_dir, exist_ok=True)
+        from falcon_tpu.pipeline.driver import Pipeline
+        p = Pipeline(cfg_fn, out_dir, use_device=False)
+        p.run()
+        return 0
+
     if mode == "overlap":
         cfg_fn, out_dir, out_fn = sys.argv[2:5]
         from falcon_tpu.io import readstore

@@ -127,3 +127,62 @@ def test_two_process_overlap_store_matches_single(tmp_path):
         assert got == want, "multi-process table differs from " \
             "single-process (%s)" % fn
     assert want.count("\n") > 50
+
+
+@pytest.mark.slow
+def test_two_process_full_pipeline_matches_single(tmp_path):
+    """FULL Pipeline.run() under 2 jax.distributed gloo processes:
+    raw FASTA -> p_ctg.fa / sg_edges_list / asm.gfa must be byte-equal
+    on both hosts and equal to the single-process run (the reference's
+    job_type=local equivalence, test_run_support.py:30-33, extended
+    through every phase)."""
+    from falcon_tpu.io import fasta
+    from falcon_tpu.utils import sim
+    G = 40000
+    genome = sim.random_genome(G, seed=61)
+    reads = sim.simulate_reads(genome, coverage=18, mean_len=5000,
+                               min_len=1500, error=0.04, seed=62)
+    fa = str(tmp_path / "raw.fa")
+    fasta.write_fasta(fa, reads, width=80)
+    cfg_fn = str(tmp_path / "fc.cfg")
+    with open(cfg_fn, "w") as f:
+        f.write("""[General]
+input_fofn = %s
+input_type = raw
+genome_size = %d
+seed_coverage = 15
+length_cutoff = -1
+length_cutoff_pr = 1000
+pa_DBsplit_option = -x500 -s0.05
+ovlp_DBsplit_option = -x500 -s0.05
+pa_HPCdaligner_option = -v -e.70 -l1000
+ovlp_HPCdaligner_option = -v -e.96 -l500
+falcon_sense_option = --output-multi --min-idt 0.70 --min-cov 2 --max-n-read 1800 --n-core 0
+overlap_filtering_setting = --max-diff 100 --max-cov 100 --min-cov 1
+""" % (fa, G))
+    # --n-core 0 = in-process FakePool: forking a worker pool inside the
+    # multithreaded jax.distributed processes deadlocks (os.fork + gloo)
+
+    # single-process reference run
+    from falcon_tpu.pipeline.driver import Pipeline
+    sdir = str(tmp_path / "single")
+    os.makedirs(sdir)
+    Pipeline(cfg_fn, sdir, use_device=False).run()
+
+    out_base = str(tmp_path / "mp")
+    launch(2, ["pipeline", cfg_fn, out_base], timeout=600)
+
+    arts = ["2-asm-falcon/p_ctg.fa", "2-asm-falcon/a_ctg.fa",
+            "2-asm-falcon/sg_edges_list", "2-asm-falcon/ctg_paths",
+            "2-asm-falcon/utg_data", "2-asm-falcon/asm.gfa",
+            "2-asm-falcon/sg.gfa", "2-asm-falcon/contig.gfa2",
+            "0-rawreads/preads.fasta", "1-preads_ovl/preads.ovl"]
+    for rel in arts:
+        with open(os.path.join(sdir, rel)) as f:
+            want = f.read()
+        for pid in range(2):
+            with open(os.path.join(out_base + ".%d" % pid, rel)) as f:
+                got = f.read()
+            assert got == want, "%s differs on host %d" % (rel, pid)
+    with open(os.path.join(sdir, "2-asm-falcon/p_ctg.fa")) as f:
+        assert f.read().count(">") >= 1

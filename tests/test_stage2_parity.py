@@ -88,9 +88,16 @@ def make_preads_ovl(tmp, G=80000, coverage=12, err=0.004, seed=5,
     store = rs_store.from_seqs([s for _, s in reads],
                                [n for n, _ in reads])
     rids = np.arange(len(store))
+    # topk=1: these fixtures feed the REFERENCE's own ovlp_to_graph, and
+    # in --lfc mode the reference crashes (KeyError 'best_in',
+    # ovlp_to_graph.py:1314 -- best_in is only populated by
+    # mark_best_overlap) on the multi-in-edge junctions that richer
+    # multi-window tables produce.  The parity target here is the graph
+    # stage, not the engine; falcon_tpu's own lfc handling of those
+    # junctions is covered by test_lfc_multi_in_edge_junction below.
     ovls = engine.overlap_blocks(
         store, rids, rids,
-        engine.OverlapParams(k=14, min_hits=4, min_overlap=500))
+        engine.OverlapParams(k=14, min_hits=4, min_overlap=500, topk=1))
     recs = engine.emit_symmetric(ovls)
     from falcon_tpu.overlap import table as otable
     lines = otable.to_lines(recs)
@@ -299,3 +306,35 @@ def test_gfa_byte_parity(tmp_path):
     for fn in ("a_ctg.fa", "asm.gfa", "sg.gfa", "contig.gfa2"):
         assert read(os.path.join(tmp_my, fn)) == \
             read(os.path.join(tmp_ref, fn)), "%s differs" % fn
+
+
+@pytest.mark.slow
+def test_lfc_multi_in_edge_junction(tmp_path):
+    """--lfc on a multi-window (topk=3) overlap table: the REFERENCE
+    crashes here (KeyError 'best_in', ovlp_to_graph.py:1314 -- lfc mode
+    never populates best_in) but falcon_tpu must terminate the contig
+    extension at the junction and finish the assembly."""
+    tmp = str(tmp_path / "mine")
+    os.makedirs(tmp)
+    reads = make_reads_hard()
+    rs_store = __import__("falcon_tpu.io.readstore",
+                          fromlist=["ReadStore"]).ReadStore
+    store = rs_store.from_seqs([s for _, s in reads],
+                               [n for n, _ in reads])
+    rids = np.arange(len(store))
+    ovls = engine.overlap_blocks(
+        store, rids, rids,
+        engine.OverlapParams(k=14, min_hits=4, min_overlap=500, topk=3))
+    recs = engine.emit_symmetric(ovls)
+    from falcon_tpu.overlap import table as otable
+    lines = otable.to_lines(recs)
+    ovl_fn = os.path.join(tmp, "preads.ovl")
+    with open(ovl_fn, "w") as f:
+        ofilter.run_ovlp_filter(f, [lambda L=lines: L], max_diff=60,
+                                max_cov=60, min_cov=1, min_len=2500,
+                                bestn=10)
+    fasta.write_fasta(os.path.join(tmp, "preads4falcon.fasta"),
+                      [("%09d" % i, s) for i, (n, s) in enumerate(reads)])
+    run_mine(tmp, ovl_fn, lfc=True)
+    assert os.path.exists(os.path.join(tmp, "p_ctg.fa"))
+    assert contig_multiset(os.path.join(tmp, "p_ctg.fa"))
