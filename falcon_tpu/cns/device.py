@@ -424,7 +424,12 @@ class DeviceCns:
             L0, Ld, G, T, D)
         emit = cns_dp.backtrack(bp, cov, gb_s, gb_t, gb_d, gb_b,
                                 np.int32(cfg.min_cov), G, T, D)
-        return (sub, emit, gb_s, len(tasks))
+        # compact on device: collect fetches [G, cap+1] rows instead of
+        # the [T, G, D] planes (~D x fewer tunnel bytes); the full plane
+        # stays live only as the rare overflow fallback
+        cap = T + T // 4
+        comp, counts = cns_dp.compact_emit(emit, cap=cap)
+        return (sub, emit, gb_s, len(tasks), comp, counts, cap)
 
     def dispatch_chunk_dp(self, chunk, cfg):
         """Queue one chunk of gated groups through the full device path.
@@ -462,7 +467,9 @@ class DeviceCns:
         return (chunk, batches)
 
     def finish_chunk_dp(self, state):
-        """Collect DP batches; host only decodes emission planes.
+        """Collect DP batches; host only decodes the COMPACTED emission
+        rows (full [T, G, D] planes are fetched only for the rare group
+        whose emission overflowed the compaction cap).
         Returns [(seed_id, consensus_str)] in chunk order."""
         import time as _time
         import jax
@@ -470,12 +477,26 @@ class DeviceCns:
         chunk, batches = state
         t0 = _time.time()
         out = [None] * len(chunk)
-        fetched = jax.device_get([emit for (_, emit, _, _) in batches])
-        for (sub, _, _, _), emit in zip(batches, fetched):
+        fetched = jax.device_get(
+            [(comp, counts) for (_, _, _, _, comp, counts, _) in batches])
+        n_overflow = 0
+        for (sub, emit, _, _, _, _, cap), (comp, counts) in \
+                zip(batches, fetched):
             for g, ci in enumerate(sub):
-                out[ci] = (chunk[ci][0], cns_dp.assemble_consensus(emit, g))
-        LOG.info("cns.device-dp: collected %d groups in %.1fs",
-                 len(chunk), _time.time() - t0)
+                cnt = int(counts[g])
+                if cnt > cap:
+                    n_overflow += 1
+                    out[ci] = (chunk[ci][0],
+                               cns_dp.assemble_consensus(
+                                   jax.device_get(emit[:, g, :])[:, None, :],
+                                   0))
+                else:
+                    out[ci] = (chunk[ci][0],
+                               cns_dp.assemble_compacted(comp[g], cnt))
+        LOG.info("cns.device-dp: collected %d groups in %.1fs"
+                 "%s", len(chunk), _time.time() - t0,
+                 " (%d overflow plane fetches)" % n_overflow
+                 if n_overflow else "")
         return out
 
     def _msa(self, t_len, alns, min_cov):

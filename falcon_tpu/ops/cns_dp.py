@@ -305,10 +305,37 @@ def backtrack(bp, cov, gb_s, gb_t, gb_d, gb_b, min_cov, G, T, D):
 _LUT = np.frombuffer(b"ACGT-acgt-", np.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def compact_emit(emit, cap):
+    """Device-side compaction of the emission planes: [T, G, D] uint8
+    (mostly NOEMIT) -> (out [G, cap+1] dense codes in emission order,
+    counts [G]).  The emitted stream is ~1 code per seed base, so
+    fetching the compacted rows costs ~D x fewer D2H bytes than the full
+    planes -- the device-DP path's dominant tunnel cost (BASELINE.md
+    round-2 "Consensus back-ends": 9.4MB/batch at 24-31 MB/s).  Codes
+    past `cap` land in the dump slot; callers detect counts > cap and
+    fall back to fetching that group's full plane."""
+    T, G, D = emit.shape
+    flat = emit.transpose(1, 0, 2).reshape(G, T * D)
+    mask = flat != NOEMIT
+    pos = jnp.cumsum(mask, axis=1) - 1
+    counts = jnp.sum(mask, axis=1)
+    tgt = jnp.where(mask, jnp.minimum(pos, cap), cap)
+    out = jnp.zeros((G, cap + 1), jnp.uint8)
+    out = out.at[jnp.arange(G)[:, None], tgt].set(flat)
+    return out, counts
+
+
 def assemble_consensus(emit, g):
     """Host: one group's emission plane -> consensus string."""
     codes = np.asarray(emit[:, g, :]).reshape(-1)
     sel = codes[codes != NOEMIT][::-1]
+    return _LUT[np.minimum(sel, 9)].tobytes().decode()
+
+
+def assemble_compacted(row, count):
+    """Host: one group's compacted emission row -> consensus string."""
+    sel = np.asarray(row[:count])[::-1]
     return _LUT[np.minimum(sel, 9)].tobytes().decode()
 
 

@@ -161,3 +161,28 @@ def test_run_consensus_device_dp_stream():
     t_str = A[truth].tobytes().decode()
     a = _al(seq, t_str)
     assert 1 - a.dist / max(1, a.aln_str_size) > 0.99
+
+
+def test_compact_emit_matches_plane_assembly():
+    """Device-side compaction (compact_emit + assemble_compacted) must
+    reproduce assemble_consensus exactly, incl. the overflow dump slot."""
+    import numpy as np
+    import jax.numpy as jnp
+    from falcon_tpu.ops import cns_dp
+    rng = np.random.RandomState(9)
+    T, G, D = 32, 4, 5
+    emit = np.full((T, G, D), cns_dp.NOEMIT, np.uint8)
+    for g in range(G):
+        n = rng.randint(1, T * 2)
+        ts = rng.choice(T * D, size=min(n, T * D), replace=False)
+        for x in ts:
+            emit[x // D, g, x % D] = rng.randint(0, 9)
+    cap = T + T // 4
+    comp, counts = cns_dp.compact_emit(jnp.asarray(emit), cap=cap)
+    comp, counts = np.asarray(comp), np.asarray(counts)
+    for g in range(G):
+        want = cns_dp.assemble_consensus(emit, g)
+        assert counts[g] == np.sum(emit[:, g, :] != cns_dp.NOEMIT)
+        if counts[g] <= cap:
+            got = cns_dp.assemble_compacted(comp[g], int(counts[g]))
+            assert got == want, g
