@@ -279,6 +279,7 @@ def main():
                 bases / kernels[k]["pipelined_s"], 1)
             rec[k + "_window_means_s"] = kernels[k]["window_means_s"]
             rec[k + "_window_cv"] = kernels[k]["window_cv"]
+            rec[k + "_compile_s"] = kernels[k]["compile_s"]
     if "pallas_error" in kernels:
         rec["pallas_error"] = kernels["pallas_error"]
     if vpu_peak:

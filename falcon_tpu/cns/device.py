@@ -196,10 +196,14 @@ class DeviceCns:
         for collect_tasks; JAX async dispatch lets the device chew on
         these while the host does other work (the chunk pipeline)."""
         import time as _time
+        # coarse ladder bucketing: each (B, L) shape pays a mosaic
+        # remote-compile (minutes on this runtime); padded cells are
+        # nearly free (see ops.align_device.LADDER)
+        from ..ops.align_device import DeviceExtender as _DE
         buckets = {}
         for idx, (qc, tc) in enumerate(tasks):
             m = max(len(qc), len(tc), 1)
-            L = max(256, 1 << int(np.ceil(np.log2(m))))
+            L = next(r for r in _DE.LADDER if m <= r)
             buckets.setdefault(L, []).append(idx)
         inflight = []
         t_disp = _time.time()
@@ -356,11 +360,12 @@ class DeviceCns:
 
         Returns [(q_dev, bd_outs, gidx_b, s2_b)] per align batch."""
         import jax.numpy as jnp
+        from ..ops.align_device import DeviceExtender as _DE
         from ..ops.align_device import _gather_pad2, _pack_tasks
         buckets = {}
         for idx, (qc, tc) in enumerate(tasks):
             m = max(len(qc), len(tc), 1)
-            L = max(256, 1 << int(np.ceil(np.log2(m))))
+            L = next(r for r in _DE.LADDER if m <= r)
             buckets.setdefault(L, []).append(idx)
         out = []
         for L in sorted(buckets):

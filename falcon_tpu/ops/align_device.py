@@ -317,13 +317,12 @@ class DeviceExtender:
             cap = min(len(qc), len(tc)) + cap_slack
             trimmed.append((qc[:cap], tc[:cap]))
         tasks = trimmed
-        # bucket by max(len) rounded to power of two
+        # bucket by max(len) on the coarse ladder (see LADDER)
         buckets = {}
-        for idx, (qc, tc) in enumerate(tasks):
-            m = max(len(qc), len(tc), 1)
-            L = 1 << int(np.ceil(np.log2(m)))
-            L = max(L, 256)
-            buckets.setdefault(L, []).append(idx)
+        ladder_of = self._bucket_ladder(
+            np.asarray([max(len(qc), len(tc), 1) for qc, tc in tasks]))
+        for idx, L in enumerate(ladder_of):
+            buckets.setdefault(int(L), []).append(idx)
         import logging, time as _time
         import jax
         _log = logging.getLogger(__name__)
@@ -393,7 +392,7 @@ class DeviceExtender:
         q_len = np.minimum(q_len, cap).astype(np.int32)
         t_len = np.minimum(t_len, cap).astype(np.int32)
         m = np.maximum(np.maximum(q_len, t_len), 1)
-        Ls = np.maximum(1 << np.ceil(np.log2(m)).astype(np.int64), 256)
+        Ls = self._bucket_ladder(m)
         if self.use_packed:
             # 2-bit packed residency: block codes sit in HBM 4x denser
             # and unpack on the fly inside the task gather
@@ -445,6 +444,20 @@ class DeviceExtender:
                   "dispatch %.1fs collect %.1fs", n, n_buckets, n_batches,
                   _t_coll - _t_disp, _time.time() - _t_coll)
         return results
+
+    # Coarse 4x-spaced length ladder instead of pow2 buckets: each
+    # distinct (B, L) shape costs a mosaic compile (~minutes through the
+    # remote AOT compile helper on this runtime, paid per shape), while
+    # padded DP cells cost ~nothing at 80M+ bases/s.  4 shapes cover
+    # 256..100kb reads; pow2 bucketing was 9.
+    LADDER = (1024, 4096, 16384, 65536, 262144)
+
+    def _bucket_ladder(self, m):
+        """Per-task padded length: smallest ladder rung >= max side."""
+        Ls = np.full(len(m), self.LADDER[-1], np.int64)
+        for rung in reversed(self.LADDER):
+            Ls = np.where(m <= rung, rung, Ls)
+        return Ls
 
     def _batch_for(self, L):
         """Batch size for one padded length: aim for a constant cell count
