@@ -445,12 +445,15 @@ class DeviceExtender:
                   _t_coll - _t_disp, _time.time() - _t_coll)
         return results
 
-    # Coarse 4x-spaced length ladder instead of pow2 buckets: each
-    # distinct (B, L) shape costs a mosaic compile (~minutes through the
-    # remote AOT compile helper on this runtime, paid per shape), while
-    # padded DP cells cost ~nothing at 80M+ bases/s.  4 shapes cover
-    # 256..100kb reads; pow2 bucketing was 9.
-    LADDER = (1024, 4096, 16384, 65536, 262144)
+    # Length ladder: pow2 with a 1024 floor.  Each distinct (B, L) shape
+    # costs a ONE-TIME mosaic remote-compile (~3min on this runtime) that
+    # then persists in the per-host cache, so steady-state throughput
+    # (padded cells ~ L_pad/L_true, avg 1.33x at pow2 spacing) beats
+    # fewer-but-coarser shapes: a 4x-spaced ladder measured ~2x slower
+    # align+consensus phases at E. coli scale (tasks near a rung's floor
+    # pay up to 4x).  The 1024 floor merges the numerous-but-cheap short
+    # tasks into one shape.
+    LADDER = tuple(1 << s for s in range(10, 19))  # 1024 .. 262144
 
     def _bucket_ladder(self, m):
         """Per-task padded length: smallest ladder rung >= max side."""
