@@ -213,14 +213,11 @@ def pack_flat_2bit(flat_u8):
     return (d << shifts).sum(axis=1, dtype=np.uint32)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("L", "fill_q", "fill_t"))
-def _gather_specs2_packed(packed, q_off, q_len, q_dir, t_off, t_len,
-                          t_dir, L, fill_q, fill_t):
-    """_gather_specs2 over a 2-bit packed resident array: the block's
-    codes live in HBM 4x denser (SURVEY section 7 step 9; the
-    BASELINE.json north-star format) and are unpacked on the fly during
-    the task gather."""
+def _gather_specs2_packed_ref(packed, q_off, q_len, q_dir, t_off, t_len,
+                              t_dir, L, fill_q, fill_t):
+    """Reference formulation of the packed spec gather (per-ELEMENT word
+    gather).  Kept for the equivalence test of the word-level fast path
+    below; not jitted/hot."""
     import jax.numpy as jnp
     ar = jnp.arange(L, dtype=jnp.int32)[None, :]
     nwords = packed.shape[0]
@@ -232,6 +229,48 @@ def _gather_specs2_packed(packed, q_off, q_len, q_dir, t_off, t_len,
         b = (w >> (2 * (idx & 15)).astype(jnp.uint32)) & jnp.uint32(3)
         return jnp.where(ar < ln[:, None], b.astype(jnp.int8),
                          jnp.int8(fill))
+
+    return one(q_off, q_len, q_dir, fill_q), one(t_off, t_len, t_dir,
+                                                 fill_t)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("L", "fill_q", "fill_t"))
+def _gather_specs2_packed(packed, q_off, q_len, q_dir, t_off, t_len,
+                          t_dir, L, fill_q, fill_t):
+    """_gather_specs2 over a 2-bit packed resident array: the block's
+    codes live in HBM 4x denser (SURVEY section 7 step 9) and unpack on
+    the fly during the task gather.
+
+    WORD-LEVEL formulation: a per-element word gather cost 1.7x the
+    extension kernel itself (profiled: 0.30s gather vs 0.18s kernel at
+    B=2048/L=8192).  Every task row is an affine slice of the flat
+    array, so (a) reversed rows (dir=-1) become a FORWARD gather from
+    off-(L-1) followed by a cheap row flip, and (b) each 16-lane group
+    then needs just TWO uint32 words (the group may straddle a word
+    boundary), combined with a per-ROW-constant funnel shift -- 16x
+    fewer gather lanes and 8x fewer gathered bytes than per-element."""
+    import jax.numpy as jnp
+    assert L % 16 == 0
+    ar = jnp.arange(L, dtype=jnp.int32)[None, :]
+    nwords = packed.shape[0]
+    G = L // 16
+    g = jnp.arange(G, dtype=jnp.int32)[None, :]
+    sh16 = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+
+    def one(off, ln, dr, fill):
+        # forward start of the row's L-window; arithmetic >> floors and
+        # & 15 is a true modulo for negative starts (two's complement)
+        start = jnp.where(dr == 1, off, off - (L - 1))[:, None]  # [B,1]
+        w0i = (start >> 4) + g                                   # [B,G]
+        w0 = packed[jnp.clip(w0i, 0, nwords - 1)]
+        w1 = packed[jnp.clip(w0i + 1, 0, nwords - 1)]
+        s = (2 * (start & 15)).astype(jnp.uint32)                # [B,1]
+        val = jnp.where(s == 0, w0, (w0 >> s) | (w1 << (32 - s)))
+        codes = (val[:, :, None] >> sh16) & jnp.uint32(3)        # [B,G,16]
+        F = codes.reshape(-1, L).astype(jnp.int8)
+        out = jnp.where(dr[:, None] == 1, F, jnp.flip(F, axis=1))
+        return jnp.where(ar < ln[:, None], out, jnp.int8(fill))
 
     return one(q_off, q_len, q_dir, fill_q), one(t_off, t_len, t_dir,
                                                  fill_t)
