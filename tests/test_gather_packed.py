@@ -47,3 +47,11 @@ def test_word_gather_matches_reference():
                                           fill_q=4, fill_t=5)
         np.testing.assert_array_equal(np.asarray(qr), np.asarray(qf))
         np.testing.assert_array_equal(np.asarray(tr), np.asarray(tf))
+
+
+def test_bucket_ladder():
+    ext = ad.DeviceExtender.__new__(ad.DeviceExtender)  # no jax init
+    m = np.array([1, 256, 1024, 1025, 5000, 16384, 16385, 300000])
+    Ls = ext._bucket_ladder(m)
+    assert Ls.tolist() == [1024, 1024, 1024, 2048, 8192, 16384, 32768,
+                           262144]
