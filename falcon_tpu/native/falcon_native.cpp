@@ -1034,3 +1034,181 @@ void ftpu_free_i64(int64_t* p) { free(p); }
 void ftpu_free_i32(int32_t* p) { free(p); }
 
 }  // extern "C"
+
+// ------------------------------------------------------------- soft masks
+// C++ ports of falcon_tpu.io.masking.dust_mask / tandem_mask with
+// BIT-IDENTICAL output (pinned by tests/test_masking.py parity cases).
+// The python versions are numpy-vectorized but still cost ~0.7s/Mbase on
+// the 2-core host (815s of the 40Mb e2e); these are single linear passes.
+
+namespace {
+
+// ok[i] = triplet/k-mer window [i, i+K) has no non-ACGT base and does not
+// cross a read boundary; also fills keys (2-bit rolling).
+static void kmer_keys_ok(const uint8_t* codes, long n,
+                         const int64_t* offsets, long n_reads, int K,
+                         std::vector<int32_t>& keys,
+                         std::vector<char>& ok) {
+  const long nk = n - K + 1;
+  if (nk <= 0) { keys.clear(); ok.clear(); return; }
+  keys.assign(nk, 0);
+  ok.assign(nk, 1);
+  const int32_t mask = (int32_t)((1u << (2 * K)) - 1);
+  int32_t key = 0;
+  long bad_run = 0;   // # of bad bases in current window tail
+  // rolling key over all positions; ok via counting bad bases in window
+  // (recompute simple: track last bad index)
+  long last_bad = -1;
+  for (long i = 0; i < n; ++i) {
+    const int c = codes[i];
+    const int cc = (c > 3) ? 0 : c;
+    if (c > 3) last_bad = i;
+    key = ((key << 2) | cc) & mask;
+    const long s = i - K + 1;
+    if (s >= 0) {
+      keys[s] = key;
+      if (last_bad >= s) ok[s] = 0;
+    }
+  }
+  (void)bad_run;
+  // read-boundary invalidation: kmer starting in read r must end before
+  // offsets[r+1]
+  long r = 0;
+  for (long s = 0; s < nk; ++s) {
+    while (r + 1 < n_reads && s >= offsets[r + 1]) ++r;
+    if (s + K > offsets[r + 1]) ok[s] = 0;
+  }
+}
+
+long dust_mask_impl(const uint8_t* codes, long n, const int64_t* offsets,
+                    long n_reads, int window, int max_dist,
+                    double min_frac, uint8_t* mask_out) {
+  memset(mask_out, 0, (size_t)n);
+  if (n < 3) return 0;
+  std::vector<int32_t> keys;
+  std::vector<char> ok;
+  kmer_keys_ok(codes, n, offsets, n_reads, 3, keys, ok);
+  const long nk = (long)keys.size();
+  // dstart: distance to read start, capped 255
+  std::vector<uint8_t> dstart(nk);
+  {
+    long r = 0;
+    for (long i = 0; i < nk; ++i) {
+      while (r + 1 < n_reads && i >= offsets[r + 1]) ++r;
+      const long d = i - offsets[r];
+      dstart[i] = (uint8_t)(d > 255 ? 255 : d);
+    }
+  }
+  // rep_b[i] = any j in [1, max_dist]: keys[i-j]==keys[i], both ok,
+  // dstart[i] >= j
+  std::vector<char> rep(nk, 0);
+  for (long i = 1; i < nk; ++i) {
+    if (!ok[i]) continue;
+    const int jmax = (int)std::min<long>(max_dist, i);
+    const int dmax = dstart[i];
+    for (int j = 1; j <= jmax; ++j) {
+      if (j > dmax) break;
+      if (ok[i - j] && keys[i - j] == keys[i]) { rep[i] = 1; break; }
+    }
+  }
+  const long w = std::min<long>(window, nk);
+  if (w < 8) return 0;
+  // sliding window count of rep over [i, i+w); hot paints [i, i+w+2)
+  std::vector<int32_t> dif(n + 1, 0);
+  long cnt = 0;
+  for (long i = 0; i < w; ++i) cnt += rep[i];
+  const double thr = min_frac * (double)w;
+  long nwin = nk - w + 1;
+  for (long i = 0; i < nwin; ++i) {
+    if ((double)cnt >= thr) {
+      dif[i] += 1;
+      dif[std::min<long>(i + w + 2, n)] -= 1;
+    }
+    if (i + 1 < nwin) cnt += rep[i + w] - rep[i];
+  }
+  long acc = 0, painted = 0;
+  for (long i = 0; i < n; ++i) {
+    acc += dif[i];
+    if (acc > 0) { mask_out[i] = 1; ++painted; }
+  }
+  return painted;
+}
+
+long tandem_mask_impl(const uint8_t* codes, long n, const int64_t* offsets,
+                      long n_reads, int k, int max_period,
+                      uint8_t* mask_out) {
+  memset(mask_out, 0, (size_t)n);
+  std::vector<int32_t> keys;
+  std::vector<char> ok;
+  kmer_keys_ok(codes, n, offsets, n_reads, k, keys, ok);
+  const long nk = (long)keys.size();
+  if (nk == 0) return 0;
+  // distance to previous ok occurrence of the same key (exactly the
+  // python _near_repeat_hits dedup-min semantics)
+  std::vector<int64_t> last((size_t)1 << (2 * k), -1);
+  std::vector<int64_t> hp;
+  std::vector<int32_t> hd;
+  hp.reserve(1 << 16);
+  hd.reserve(1 << 16);
+  long r = 0;
+  for (long i = 0; i < nk; ++i) {
+    if (!ok[i]) continue;
+    const int32_t key = keys[i];
+    const int64_t prev = last[(uint32_t)key];
+    last[(uint32_t)key] = i;
+    if (prev < 0) continue;
+    const long d = i - prev;
+    if (d <= 0 || d > max_period) continue;
+    // same-read + period gates (hd >= k, start within the read)
+    while (r + 1 < n_reads && i >= offsets[r + 1]) ++r;
+    // r tracks read_of(i) only if i is visited ascending -- it is
+    if (d < k) continue;
+    if (i - d < offsets[r]) continue;
+    hp.push_back(i);
+    hd.push_back((int32_t)d);
+  }
+  const long nh = (long)hp.size();
+  if (nh == 0) return 0;
+  // confirmation: adjacent hits with close positions + consistent period
+  std::vector<char> conf(nh, 0);
+  for (long i = 0; i + 1 < nh; ++i) {
+    if (hp[i + 1] - hp[i] <= 2 * k &&
+        std::abs((long)hd[i + 1] - (long)hd[i]) <= 8) {
+      conf[i] = 1;
+      conf[i + 1] = 1;
+    }
+  }
+  std::vector<int32_t> dif(n + 1, 0);
+  for (long i = 0; i < nh; ++i) {
+    if (!conf[i]) continue;
+    dif[hp[i] - hd[i]] += 1;
+    dif[std::min<long>(hp[i] + k, n)] -= 1;
+  }
+  long acc = 0, painted = 0;
+  for (long i = 0; i < n; ++i) {
+    acc += dif[i];
+    if (acc > 0) { mask_out[i] = 1; ++painted; }
+  }
+  return painted;
+}
+
+}  // namespace
+
+extern "C" {
+
+long ftpu_dust_mask(const uint8_t* codes, long n, const int64_t* offsets,
+                    long n_reads, int window, int max_dist,
+                    double min_frac, uint8_t* mask_out) {
+  return dust_mask_impl(codes, n, offsets, n_reads, window, max_dist,
+                        min_frac, mask_out);
+}
+
+long ftpu_tandem_mask(const uint8_t* codes, long n,
+                      const int64_t* offsets, long n_reads, int k,
+                      int max_period, uint8_t* mask_out) {
+  if (k < 4 || k > 14) return -1;   // last-seen table is 4^k entries
+  return tandem_mask_impl(codes, n, offsets, n_reads, k, max_period,
+                          mask_out);
+}
+
+}  // extern "C"

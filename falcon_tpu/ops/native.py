@@ -80,6 +80,14 @@ def _build_and_load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p)]
     lib.ftpu_seed_chain.restype = ctypes.c_long
+    lib.ftpu_dust_mask.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_void_p]
+    lib.ftpu_dust_mask.restype = ctypes.c_long
+    lib.ftpu_tandem_mask.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+    lib.ftpu_tandem_mask.restype = ctypes.c_long
     return lib
 
 
@@ -313,3 +321,34 @@ def seed_chain(q_codes, q_offsets, t_codes, t_offsets, K, stride,
         for c in range(5):
             lib.ftpu_free_i32(out5[c])
     return tuple(arrs)
+
+
+def dust_mask(codes, offsets, window=64, max_dist=8, min_frac=0.7):
+    """C++ dust mask; bit-identical to io.masking.dust_mask."""
+    import numpy as np
+    lib = get_lib()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    out = np.zeros(len(codes), np.uint8)
+    rc = lib.ftpu_dust_mask(codes.ctypes.data, len(codes),
+                            offsets.ctypes.data, len(offsets) - 1,
+                            window, max_dist, float(min_frac),
+                            out.ctypes.data)
+    if rc < 0:
+        raise ValueError("ftpu_dust_mask failed")
+    return out.astype(bool)
+
+
+def tandem_mask(codes, offsets, k=12, max_period=500):
+    """C++ tandem mask; bit-identical to io.masking.tandem_mask."""
+    import numpy as np
+    lib = get_lib()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    out = np.zeros(len(codes), np.uint8)
+    rc = lib.ftpu_tandem_mask(codes.ctypes.data, len(codes),
+                              offsets.ctypes.data, len(offsets) - 1,
+                              k, max_period, out.ctypes.data)
+    if rc < 0:
+        raise ValueError("ftpu_tandem_mask failed (k out of range?)")
+    return out.astype(bool)

@@ -144,3 +144,47 @@ def test_repeat_genome_assembles(tmp_path):
     assert len(longest.sequence) > 0.75 * len(genome), \
         "repeat genome fragmented: %d of %d" % (len(longest.sequence),
                                                 len(genome))
+
+
+def test_native_mask_parity_and_speed():
+    """C++ dust/tandem masks are bit-identical to the numpy reference on
+    a store with homopolymers, microsatellites, tandem arrays, Ns and
+    read boundaries splitting repeats."""
+    import time
+    import numpy as np
+    from falcon_tpu.io import masking
+    from falcon_tpu.ops import native
+    if not native.available():
+        import pytest
+        pytest.skip("native unavailable")
+    rng = np.random.RandomState(3)
+    parts = []
+    lens = []
+    for i in range(40):
+        seq = rng.randint(0, 4, 4000).astype(np.uint8)
+        if i % 3 == 0:
+            seq[100:160] = 2                        # homopolymer
+        if i % 4 == 0:
+            unit = rng.randint(0, 4, 7)
+            seq[1000:1000 + 70 * 7] = np.tile(unit, 70)   # microsat
+        if i % 5 == 0:
+            unit = rng.randint(0, 4, 150)
+            seq[2000:2000 + 10 * 150] = np.tile(unit, 10)  # tandem
+        if i % 7 == 0:
+            seq[500:505] = 9                        # Ns
+        parts.append(seq)
+        lens.append(len(seq))
+    codes = np.concatenate(parts)
+    offsets = np.zeros(len(parts) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+
+    for np_fn, nat_fn, kw in (
+            (masking.dust_mask, native.dust_mask, {}),
+            (masking.tandem_mask, native.tandem_mask, {})):
+        want = np_fn(codes, offsets, **kw)
+        got = nat_fn(codes, offsets, **kw)
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=np_fn.__name__)
+    # sanity: the planted tandem region is masked
+    t = native.tandem_mask(codes, offsets)
+    assert t[offsets[0] + 2100:offsets[0] + 3200].mean() > 0.9
