@@ -44,7 +44,15 @@ def launch(n_procs, args, timeout=240):
             [sys.executable, os.path.join(REPO, "tests", "mp_worker.py")]
             + args, env=env, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT))
-    rc = [p.wait(timeout=timeout) for p in procs]
+    try:
+        rc = [p.wait(timeout=timeout) for p in procs]
+    finally:
+        # never leave gloo workers behind (an orphan from a timed-out
+        # run lingers forever waiting on its peer and poisons later
+        # runs on the shared host)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     logs = [p.stdout.read().decode() for p in procs]
     assert rc == [0] * n_procs, "\n".join(logs)
 
