@@ -132,12 +132,22 @@ def _range_ok(rng):
 class DeviceCns:
     """Chunked device consensus over gated groups."""
 
-    def __init__(self, W=256, max_cells=1 << 19, chunk_tasks=8192,
+    def __init__(self, W=None, max_cells=1 << 19, chunk_tasks=8192,
                  use_pallas=None, moves_budget=1 << 30, use_dp=None,
                  dp_delta_cap=None, dp_budget=None):
         import os
         from ..utils.jaxinit import setup_jax
         setup_jax()
+        if W is None:
+            # the consensus aligner's band: supports start from overlap-
+            # record ranges, so drift is the indel-imbalance random walk
+            # (sigma ~ sqrt(err/1.5 * L) ~ 20 for 7kb at 16% combined
+            # error).  The traceback kernel's move planes cost O(W) HBM
+            # traffic -- the consensus phase's dominant share -- so the
+            # band is configurable; 256 is the validated default
+            # (reference band_tolerance=150 for consensus aligns,
+            # falcon.c:626-628).
+            W = int(os.environ.get("FTPU_CNS_W", "256"))
         self.W = W
         self.max_cells = max_cells      # B*L budget per device batch
         self.chunk_tasks = chunk_tasks  # alignment tasks per chunk
