@@ -211,3 +211,43 @@ def test_hgap_adapt_reference_layout_resume(tmp_path):
     want = {r.name: r.sequence
             for r in fasta.read_fasta(str(ref2 / "p_ctg.fa"))}
     assert ctgs == want
+
+
+def test_consensus_cli_stream_trim(monkeypatch, capsys):
+    """--trim through the stream CLI routes to
+    consensus_with_trim_for_group (oracle-pinned in test_trim_oracle)
+    and still emits a full-length pread."""
+    import numpy as np
+    from falcon_tpu.cns import runner as _runner
+    from falcon_tpu.utils import sim
+    rng = np.random.RandomState(4)
+    genome = sim.random_genome(3000, seed=5)
+    g = np.frombuffer(genome.encode(), np.uint8)
+    tmpl = g[200:2800]
+
+    def noisy():
+        return sim.mutate(tmpl, rng, 0.01, 0.01, 0.01).tobytes().decode()
+
+    lines = ["000000000 " + noisy()]
+    for i in range(1, 12):
+        lines.append("%09d %s" % (i, noisy()))
+    lines.append("+ +")
+    lines.append("- -")
+    calls = []
+    orig = _runner.consensus_with_trim_for_group
+
+    def spy(seed_id, seqs, cfg):
+        calls.append(seed_id)
+        return orig(seed_id, seqs, cfg)
+
+    monkeypatch.setattr(_runner, "consensus_with_trim_for_group", spy)
+    monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(lines) + "\n"))
+    rc = consensus.main(["prog", "--min-cov", "2", "--min-cov-aln", "2",
+                         "--min-n-read", "5", "--output-multi", "--trim",
+                         "--trim-size", "50"])
+    assert rc == 0
+    assert calls == ["000000000"], "trim path not taken"
+    out = capsys.readouterr().out
+    assert out.startswith(">prolog/0000000000/")
+    seq = "".join(out.splitlines()[1:])
+    assert len(seq) > 2000
