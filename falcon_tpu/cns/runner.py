@@ -29,7 +29,12 @@ class ConsensusConfig:
                  edge_tolerance=1000, trim_size=50, min_cov_aln=10,
                  max_cov_aln=0, min_n_read=10, min_len_aln=0,
                  output_full=False, output_multi=False, trim=False,
-                 n_core=0):
+                 n_core=None):
+        # n_core: None = unset (callers pick a default); 0 = EXPLICIT
+        # in-process FakePool (the reference's --n-core 0 determinism
+        # mode, multiproc.py:10-26) -- the two must stay distinct: the
+        # driver once treated 0 as unset and forked a pool inside
+        # jax.distributed workers, deadlocking on inherited locks.
         self.min_cov = min_cov
         self.K = K
         self.max_n_read = max_n_read
@@ -269,7 +274,7 @@ def run_consensus(groups, cfg, out, n_core=None):
     import multiprocessing
     from ..utils.pool import Pool
     if n_core is None:
-        n_core = cfg.n_core
+        n_core = cfg.n_core if cfg.n_core is not None else 0
     n_core = min(n_core, multiprocessing.cpu_count())
 
     def gated_tasks():

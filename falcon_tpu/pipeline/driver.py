@@ -190,7 +190,11 @@ class Pipeline:
         ccfg = cns_runner.ConsensusConfig.from_option_string(
             p.falcon_sense_option)
 
-        n_core = ccfg.n_core if ccfg.n_core > 0 else \
+        # n_core None = unset -> size from [job.*]/host; an EXPLICIT
+        # --n-core 0 is the reference's in-process FakePool determinism
+        # mode and must be honored (forking a pool inside jax.distributed
+        # workers deadlocks on locks held by forked-away threads)
+        n_core = ccfg.n_core if ccfg.n_core is not None else \
             (p.cns_nproc or os.cpu_count() or 1)
         use_dev_cns = (self.p.use_device and
                        os.environ.get("FTPU_CNS_DEVICE", "1") != "0" and

@@ -177,8 +177,18 @@ overlap_filtering_setting = --max-diff 100 --max-cov 100 --min-cov 1
     os.makedirs(sdir)
     Pipeline(cfg_fn, sdir, use_device=False).run()
 
-    out_base = str(tmp_path / "mp")
-    launch(2, ["pipeline", cfg_fn, out_base], timeout=600)
+    # the 2-worker run is load-sensitive (phase skew between the
+    # workers while one holds a gloo collective open); a hung attempt is
+    # killed by launch() and retried once on a fresh out dir
+    import subprocess as _sp
+    for attempt in (1, 2):
+        out_base = str(tmp_path / ("mp%d" % attempt))
+        try:
+            launch(2, ["pipeline", cfg_fn, out_base], timeout=420)
+            break
+        except _sp.TimeoutExpired:
+            if attempt == 2:
+                raise
 
     arts = ["2-asm-falcon/p_ctg.fa", "2-asm-falcon/a_ctg.fa",
             "2-asm-falcon/sg_edges_list", "2-asm-falcon/ctg_paths",
