@@ -430,11 +430,18 @@ class DeviceCns:
         L0 = cns_dp.add_self_tags(L0, jnp.asarray(seeds),
                                   jnp.asarray(tlens), T)
         max_diff = 1.0 - cfg.min_idt
+        import os as _os
+        use_scatter = _os.environ.get("FTPU_CNS_SCATTER") == "1"
         for (q, (bi, bj, bd, mvp), gi_b, s2_b) in \
                 self._dispatch_align_meta(tasks, gidx_l, s2_l):
-            L0, Ld = cns_dp.accumulate_tags(
-                L0, Ld, mvp, q, bd, gi_b, s2_b,
-                np.float32(max_diff), T, D)
+            if use_scatter:
+                L0, Ld = cns_dp.accumulate_tags(
+                    L0, Ld, mvp, q, bd, gi_b, s2_b,
+                    np.float32(max_diff), T, D)
+            else:
+                L0, Ld = cns_dp.accumulate_tags_mm(
+                    L0, Ld, mvp, q, bd, gi_b, s2_b,
+                    np.float32(max_diff), T, D, G)
         bp, cov, gb_s, gb_t, gb_d, gb_b = cns_dp.consensus_scan(
             L0, Ld, G, T, D)
         emit = cns_dp.backtrack(bp, cov, gb_s, gb_t, gb_d, gb_b,

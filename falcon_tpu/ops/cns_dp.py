@@ -142,6 +142,151 @@ def accumulate_tags(L0flat, Ldflat, mvp, q, bd, gidx, s2, max_diff, T, D):
     return L0flat, Ldflat
 
 
+def _column_tags(mvp, q, bd, gidx, s2, max_diff, T, D):
+    """Shared per-column tag decode: move stream -> (adv, advcum, key,
+    cls) [B, S] arrays.
+
+    key = tpos*D + delta for kept in-range tags, -1 otherwise (folds the
+    ok/keep/in_t gates into one comparable).  cls = the MSA class code:
+    base*NPC0+pred0 (0..79) at delta-0 columns, base*NPCD+predd (0..29)
+    at insertion columns."""
+    P, B = mvp.shape
+    S = P * 4
+    m = jnp.stack([mvp & 3, (mvp >> 2) & 3, (mvp >> 4) & 3,
+                   (mvp >> 6) & 3], axis=1)
+    ms = jnp.flip(m.reshape(S, B), axis=0).T.astype(jnp.int32)  # [B, S]
+    valid = ms != 3
+    consq = (ms == 0) | (ms == 2)
+    adv = (ms == 0) | (ms == 1)
+
+    ncols = valid.sum(axis=1).astype(jnp.int32)
+    keep = (ncols > 500) & (bd.astype(jnp.float32) <
+                            max_diff * ncols.astype(jnp.float32))
+    keep = keep & (gidx >= 0)
+
+    cq = jnp.cumsum(consq.astype(jnp.int32), axis=1)
+    qi = jnp.clip(cq - 1, 0, q.shape[1] - 1)
+    qb = jnp.take_along_axis(q.astype(jnp.int32), qi, axis=1)
+    base = jnp.where(consq, jnp.minimum(qb, 4), 4)
+
+    advcum = jnp.cumsum(adv.astype(jnp.int32), axis=1)
+    tpos = s2[:, None] - 1 + advcum
+    cq_at_adv = jax.lax.cummax(jnp.where(adv, cq, 0), axis=1)
+    delta = jnp.where(adv, 0, cq - cq_at_adv)
+
+    bad = valid & ((delta >= D) | (tpos < 0))
+    ok = valid & (jnp.cumsum(bad.astype(jnp.int32), axis=1) == 0) & \
+        keep[:, None]
+
+    ar = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    pv = jax.lax.cummax(jnp.where(ok, ar, -1), axis=1)
+    pidx = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), pv[:, :-1]], axis=1)
+    p_exists = pidx >= 0
+    pcl = jnp.clip(pidx, 0, S - 1)
+    p_base = jnp.minimum(jnp.take_along_axis(base, pcl, axis=1), 4)
+    p_delta = jnp.take_along_axis(delta, pcl, axis=1)
+
+    pc0 = jnp.where(p_exists, jnp.minimum(p_delta, 2) * 5 + p_base,
+                    NPC0 - 1)
+    pcd = jnp.where(p_exists, p_base, NPCD - 1)
+    cls = jnp.where(adv, base * NPC0 + pc0, base * NPCD + pcd)
+    in_t = (tpos >= 0) & (tpos < T)
+    key = jnp.where(ok & in_t, tpos * D + delta, -1)
+    return key, cls
+
+
+_T_CHUNK = 2048   # t-tile for the one-hot planes (bounds live HBM)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "D", "G"),
+                   donate_argnums=(0, 1))
+def accumulate_tags_mm(L0flat, Ldflat, mvp, q, bd, gidx, s2, max_diff,
+                       T, D, G):
+    """accumulate_tags without the scatter: gather-inversion + one-hot
+    matmuls (MXU path).
+
+    The XLA scatter-add in accumulate_tags serializes at ~1us/update on
+    TPU (BASELINE.md round-3 "Consensus back-ends"); at B*S ~ 8M column
+    slots per align batch that is seconds of device time.  This variant
+    produces identical counts by inverting the map: each tag column's
+    key = tpos*D + delta is STRICTLY increasing over kept tag columns
+    (tpos is nondecreasing; within a t, delta-0 precedes delta 1,2,..),
+    so for each (read, t) a binary search on cummax(key) locates the
+    delta-0 column; a read's delta-d insertion columns sit contiguously
+    right after it in the move stream (left-moves consume one
+    anti-diagonal each -- no interleaved inactive steps, unlike diag
+    moves).  Counts then become
+        L[g, t, c] = sum_b M[g, b] * onehot(cls[b, t, d] == c)
+    -- int8 one-hot x group-membership matmuls that ride the MXU
+    instead of the scatter unit.  Bit-identical to accumulate_tags
+    (tests/test_cns_dp.py::test_accumulate_tags_mm_parity)."""
+    S = mvp.shape[0] * 4
+    B = mvp.shape[1]
+    key, cls = _column_tags(mvp, q, bd, gidx, s2, max_diff, T, D)
+    M = (gidx[None, :] ==
+         jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)).astype(jnp.int8)
+
+    L0 = L0flat[:-1].reshape(G, T, 5 * NPC0)
+    Ld = Ldflat[:-1].reshape(G, T, (D - 1) * 5 * NPCD)
+
+    keymono = jax.lax.cummax(key, axis=1)       # nondecreasing [B, S]
+    nbits = max(1, (S + 1).bit_length())
+    cls8 = cls.astype(jnp.int16)
+    Tc = min(_T_CHUNK, T)
+    l0_chunks = []
+    ld_chunks = []
+    for t0 in range(0, T, Tc):
+        # binary search: lo[b, t] = first s with keymono[b, s] >= t*D
+        want0 = (jnp.arange(t0, t0 + Tc, dtype=jnp.int32) * D)[None, :]
+        lo = jnp.zeros((B, Tc), jnp.int32)
+        hi = jnp.full((B, Tc), S, jnp.int32)
+        for _ in range(nbits):
+            mid = (lo + hi) >> 1
+            v = jnp.take_along_axis(keymono, jnp.clip(mid, 0, S - 1),
+                                    axis=1)
+            less = v < want0
+            lo = jnp.where(less, mid + 1, lo)
+            hi = jnp.where(less, hi, mid)
+        # lo is the delta-0 column for t when one exists; when t has
+        # only insertions (a leading-insertion run: no adv column), lo
+        # lands on the delta-1 column, so step back one to keep
+        # pos = s_adv + d aligned
+        k0 = jnp.take_along_axis(key, jnp.clip(lo, 0, S - 1), axis=1)
+        s_adv = jnp.where(k0 == want0, lo, lo - 1)
+        pos = s_adv[:, :, None] + jnp.arange(D, dtype=jnp.int32)
+        posc = jnp.clip(pos, 0, S - 1).reshape(B, Tc * D)
+        gkey = jnp.take_along_axis(key, posc, axis=1).reshape(B, Tc, D)
+        gcls = jnp.take_along_axis(cls8, posc.astype(jnp.int32),
+                                   axis=1).reshape(B, Tc, D)
+        want = (want0[0][None, :, None]
+                + jnp.arange(D, dtype=jnp.int32)[None, None, :])
+        hit = gkey == want
+        # d = 0 plane: classes 0..79
+        oh0 = ((gcls[:, :, 0, None] ==
+                jax.lax.broadcasted_iota(jnp.int16, (1, 1, 5 * NPC0), 2))
+               & hit[:, :, 0, None]).astype(jnp.int8)
+        add0 = jax.lax.dot_general(
+            M, oh0.reshape(B, Tc * 5 * NPC0),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        l0_chunks.append(add0.reshape(G, Tc, 5 * NPC0))
+        # d >= 1 planes: classes 0..29 each
+        ohd = ((gcls[:, :, 1:, None] ==
+                jax.lax.broadcasted_iota(jnp.int16, (1, 1, 1, 5 * NPCD),
+                                         3))
+               & hit[:, :, 1:, None]).astype(jnp.int8)
+        addd = jax.lax.dot_general(
+            M, ohd.reshape(B, Tc * (D - 1) * 5 * NPCD),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        ld_chunks.append(addd.reshape(G, Tc, (D - 1) * 5 * NPCD))
+    L0 = L0 + jnp.concatenate(l0_chunks, axis=1).astype(jnp.uint16)
+    Ld = Ld + jnp.concatenate(ld_chunks, axis=1).astype(jnp.uint16)
+    return (jnp.concatenate([L0.reshape(-1), L0flat[-1:]]),
+            jnp.concatenate([Ld.reshape(-1), Ldflat[-1:]]))
+
+
 @functools.partial(jax.jit, static_argnames=("T",), donate_argnums=(0,))
 def add_self_tags(L0flat, seeds, tlens, T):
     """The seed's identity alignment as delta-0 tags (dense one-hot add;

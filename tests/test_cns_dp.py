@@ -186,3 +186,56 @@ def test_compact_emit_matches_plane_assembly():
         if counts[g] <= cap:
             got = cns_dp.assemble_compacted(comp[g], int(counts[g]))
             assert got == want, g
+
+
+@pytest.mark.parametrize("err,seed,s2mode", [
+    (0.0, 21, "zero"), (0.12, 22, "zero"), (0.25, 23, "mix"),
+    (0.12, 24, "lead")])
+def test_accumulate_tags_mm_parity(err, seed, s2mode):
+    """accumulate_tags_mm (gather-inversion + one-hot matmul) must be
+    bit-identical to the scatter-add accumulate_tags on real move
+    streams, including leading-insertion runs (support starts before the
+    seed range), delta-cap truncation (high error), and out-of-T tags."""
+    import jax.numpy as jnp
+    from falcon_tpu.ops import align_tb, cns_dp
+    rng = np.random.RandomState(seed)
+    T, D, G, B, L = 1024, 14, 8, 6, 2048
+    qs = np.full((B, L), 4, np.int8)
+    ts = np.full((B, L), 5, np.int8)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    gidx = np.zeros(B, np.int32)
+    s2 = np.zeros(B, np.int32)
+    for b in range(B):
+        t_arr = rng.randint(0, 4, rng.randint(700, 1100)).astype(np.uint8)
+        q_arr = noisy(t_arr, err, rng) if err else t_arr.copy()
+        if s2mode == "lead":
+            # support has extra leading bases: alignment opens with an
+            # insertion run (tags at tpos = s2 - 1)
+            q_arr = np.concatenate(
+                [rng.randint(0, 4, 7).astype(np.uint8), q_arr])
+        qs[b, :len(q_arr)] = q_arr
+        ts[b, :len(t_arr)] = t_arr
+        qlen[b] = len(q_arr)
+        tlen[b] = len(t_arr)
+        gidx[b] = b % G if b != 3 else -1     # one dead task
+        s2[b] = 0 if s2mode == "zero" else rng.randint(0, 5)
+    bi, bj, bd, mvp = align_tb.align_tb_batch(
+        jnp.asarray(qs), jnp.asarray(qlen), jnp.asarray(ts),
+        jnp.asarray(tlen), W=64)
+    max_diff = np.float32(0.5)
+    L0a, Lda = cns_dp.alloc_msa(G, T, D)
+    L0a, Lda = cns_dp.accumulate_tags(
+        L0a, Lda, mvp, jnp.asarray(qs), bd, jnp.asarray(gidx),
+        jnp.asarray(s2), max_diff, T, D)
+    L0b, Ldb = cns_dp.alloc_msa(G, T, D)
+    L0b, Ldb = cns_dp.accumulate_tags_mm(
+        L0b, Ldb, mvp, jnp.asarray(qs), bd, jnp.asarray(gidx),
+        jnp.asarray(s2), max_diff, T, D, G)
+    # dump slots (last element) legitimately differ: the scatter path
+    # routes masked-out updates there, the matmul path has none
+    a0, b0 = np.asarray(L0a)[:-1], np.asarray(L0b)[:-1]
+    ad, bdd = np.asarray(Lda)[:-1], np.asarray(Ldb)[:-1]
+    assert a0.sum() > 0, "degenerate case: no tags at all"
+    np.testing.assert_array_equal(a0, b0)
+    np.testing.assert_array_equal(ad, bdd)
