@@ -430,18 +430,25 @@ class DeviceCns:
         L0 = cns_dp.add_self_tags(L0, jnp.asarray(seeds),
                                   jnp.asarray(tlens), T)
         max_diff = 1.0 - cfg.min_idt
+        # Default = the scatter path: measured 89ms vs 954ms/batch for
+        # the matmul variant at production shapes (B=256, S=4096,
+        # T=8192, G=32, warm) -- the XLA scatter-add is NOT the DP
+        # path's bottleneck (round-3's ~1us/update attribution was
+        # wrong; see BASELINE.md round-3 addendum).  FTPU_CNS_MM=1
+        # selects the MXU one-hot-matmul variant (bit-identical on real
+        # move streams, tests/test_cns_dp.py).
         import os as _os
-        use_scatter = _os.environ.get("FTPU_CNS_SCATTER") == "1"
+        use_mm = _os.environ.get("FTPU_CNS_MM") == "1"
         for (q, (bi, bj, bd, mvp), gi_b, s2_b) in \
                 self._dispatch_align_meta(tasks, gidx_l, s2_l):
-            if use_scatter:
-                L0, Ld = cns_dp.accumulate_tags(
-                    L0, Ld, mvp, q, bd, gi_b, s2_b,
-                    np.float32(max_diff), T, D)
-            else:
+            if use_mm:
                 L0, Ld = cns_dp.accumulate_tags_mm(
                     L0, Ld, mvp, q, bd, gi_b, s2_b,
                     np.float32(max_diff), T, D, G)
+            else:
+                L0, Ld = cns_dp.accumulate_tags(
+                    L0, Ld, mvp, q, bd, gi_b, s2_b,
+                    np.float32(max_diff), T, D)
         bp, cov, gb_s, gb_t, gb_d, gb_b = cns_dp.consensus_scan(
             L0, Ld, G, T, D)
         emit = cns_dp.backtrack(bp, cov, gb_s, gb_t, gb_d, gb_b,

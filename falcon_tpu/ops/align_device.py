@@ -378,6 +378,9 @@ class DeviceExtender:
         multi = len(jax.devices()) > 1
         for L in sorted(buckets):
             idxs = buckets[L]
+            # length-sort within the bucket: homogeneous batch tiles let
+            # the kernel's per-tile max_s guard skip trailing super-blocks
+            idxs.sort(key=lambda i: len(tasks[i][0]) + len(tasks[i][1]))
             B = self._batch_for(L)
             for ofs in range(0, len(idxs), B):
                 chunk = idxs[ofs:ofs + B]
@@ -456,6 +459,8 @@ class DeviceExtender:
         n_buckets = 0
         for L in np.unique(Ls):
             idxs = np.nonzero(Ls == L)[0]
+            # length-sort within the bucket (see run(): max_s skip)
+            idxs = idxs[np.argsort((q_len + t_len)[idxs], kind="stable")]
             L = int(L)
             B = self._batch_for(L)
             n_buckets += 1

@@ -59,6 +59,11 @@ def _kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
     b = pl.program_id(0)
     min_q = minlen_ref[b, 0]    # per-tile min qlen / tlen (scalars)
     min_t = minlen_ref[b, 1]
+    max_s = minlen_ref[b, 2]    # per-tile max qlen + tlen: no boundary
+                                # cell (i == qlen or j == tlen) exists
+                                # past s = i + j = qlen + tlen, so
+                                # super-blocks starting beyond it are
+                                # dead for every row of this tile
 
     @pl.when(sb == 0)
     def _init():
@@ -170,16 +175,17 @@ def _kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
     NBB = W // (2 * SB) + 1
     lean_ok = ((o_base + SB + W - 1 < min_q) &
                (SB * (sb + 1) + W // 2 < min_t))
+    alive = 2 * SB * sb + 1 <= max_s   # first step of this super-block
 
-    @pl.when(sb < NBB)
+    @pl.when(alive & (sb < NBB))
     def _boundary_blocks():
         steps("boundary")
 
-    @pl.when((sb >= NBB) & ~lean_ok)
+    @pl.when(alive & (sb >= NBB) & ~lean_ok)
     def _interior_blocks():
         steps("fast")
 
-    @pl.when((sb >= NBB) & lean_ok)
+    @pl.when(alive & (sb >= NBB) & lean_ok)
     def _lean_blocks():
         steps("lean")
 
@@ -260,8 +266,14 @@ def extend_batch_pallas(q, qlen, t, tlen, W=256, end_bonus=3, block_b=256,
     nb_ = B // block_b
     qv = jnp.where(qlen2[:, 0] > 0, qlen2[:, 0], L).reshape(nb_, block_b)
     tv = jnp.where(tlen2[:, 0] > 0, tlen2[:, 0], L).reshape(nb_, block_b)
-    minlen = jnp.stack([jnp.min(qv, axis=1), jnp.min(tv, axis=1)],
-                       axis=1).astype(jnp.int32)       # [nb, 2]
+    # max_s uses the RAW lengths (pad rows contribute 0): callers sort
+    # tasks by qlen+tlen so tiles are length-homogeneous and trailing
+    # super-blocks go dead for whole tiles (~25-40% of the sweep at pow2
+    # bucket spacing)
+    sv = (qlen2[:, 0] + tlen2[:, 0]).reshape(nb_, block_b)
+    minlen = jnp.stack([jnp.min(qv, axis=1), jnp.min(tv, axis=1),
+                        jnp.max(sv, axis=1)],
+                       axis=1).astype(jnp.int32)       # [nb, 3]
 
     nb = B // block_b
     kern = functools.partial(_kernel, W=W, end_bonus=end_bonus)
