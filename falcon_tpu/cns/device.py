@@ -157,15 +157,22 @@ class DeviceCns:
         self.use_pallas = use_pallas
         # device MSA+DP path (ops.cns_dp): tags, scoring and backtrack all
         # on chip; the host only decodes the final emission planes.
-        # Default OFF: measured on the tunneled v5e (bench_consensus,
-        # round 2), the XLA scatter-add in accumulate_tags (~1us/update)
-        # and the tiny-op backtrack scan make this path ~5x slower than
-        # the host-C++-MSA hybrid at steady state; opt in with
-        # FTPU_CNS_DP=1 (it remains the multi-chip scaling path and is
-        # correctness-tested by tests/test_cns_dp.py).
+        # Default OFF: it measured ~4x slower than the host-C++-MSA
+        # hybrid at steady state on the tunneled v5e.  NOT because of the
+        # scatter-add (89ms/batch at production shapes -- the round-3
+        # addendum in BASELINE.md disproved the earlier ~1us/update
+        # attribution); the residual gap is per-shape XLA compile
+        # amortization across the (B, S, T, G) combos plus the
+        # tiny-op scan/backtrack.  Opt in with FTPU_CNS_DP=1 (it remains
+        # the multi-chip scaling path, tests/test_cns_dp.py).
         if use_dp is None:
             use_dp = os.environ.get("FTPU_CNS_DP", "0") == "1"
         self.use_dp = use_dp
+        # MXU one-hot-matmul accumulate variant (bit-identical, ~10x
+        # slower than the scatter at production shapes); resolved once
+        # here like the sibling flags so mid-run env changes cannot
+        # alter behavior between batches.
+        self.use_mm = os.environ.get("FTPU_CNS_MM") == "1"
         from ..ops import cns_dp as _cdp
         self.dp_delta_cap = dp_delta_cap or int(
             os.environ.get("FTPU_CNS_DP_DELTA", str(_cdp.D_DEFAULT)))
@@ -434,11 +441,11 @@ class DeviceCns:
         # the matmul variant at production shapes (B=256, S=4096,
         # T=8192, G=32, warm) -- the XLA scatter-add is NOT the DP
         # path's bottleneck (round-3's ~1us/update attribution was
-        # wrong; see BASELINE.md round-3 addendum).  FTPU_CNS_MM=1
-        # selects the MXU one-hot-matmul variant (bit-identical on real
-        # move streams, tests/test_cns_dp.py).
-        import os as _os
-        use_mm = _os.environ.get("FTPU_CNS_MM") == "1"
+        # wrong; see BASELINE.md round-3 addendum).  self.use_mm
+        # (FTPU_CNS_MM=1, resolved once in __init__) selects the MXU
+        # one-hot-matmul variant (bit-identical on real move streams,
+        # tests/test_cns_dp.py).
+        use_mm = self.use_mm
         for (q, (bi, bj, bd, mvp), gi_b, s2_b) in \
                 self._dispatch_align_meta(tasks, gidx_l, s2_l):
             if use_mm:

@@ -127,6 +127,10 @@ def parse_cfg_file(path):
 
 def _validate(cfg):
     """Reference update_defaults validation (run_support.py:388-410)."""
+    if cfg["input_type"] not in ("raw", "preads"):
+        # reference run1.py:189-190 asserts exactly this at startup;
+        # failing at parse time keeps a bad cfg from running stage 0
+        raise Exception("Invalid input_type==%r" % (cfg["input_type"],))
     fso = cfg["falcon_sense_option"]
     if "local_match_count" in fso or "output_dformat" in fso:
         raise Exception(

@@ -83,73 +83,41 @@ def accumulate_tags(L0flat, Ldflat, mvp, q, bd, gidx, s2, max_diff, T, D):
           dist/ncols < max_diff, reference falcon.c:629)
     gidx: [B] int32 group row of this DP batch (-1 = dead/pad task)
     s2:   [B] int32 seed-range start (t offset of the alignment)
+
+    The tag decode + gating lives in _column_tags (shared with
+    accumulate_tags_mm so both paths gate identically by construction);
+    key/cls encode exactly the flat MSA indices:
+      delta-0 column:  idx0 = (gidx*T + tpos) * 5*NPC0 + cls
+      insertion col:   idxd = ((gidx*T + tpos)*(D-1) + delta-1)*5*NPCD
+                              + cls
     """
-    P, B = mvp.shape
-    S = P * 4
-    m = jnp.stack([mvp & 3, (mvp >> 2) & 3, (mvp >> 4) & 3,
-                   (mvp >> 6) & 3], axis=1)
-    ms = jnp.flip(m.reshape(S, B), axis=0).T.astype(jnp.int32)  # [B, S]
-    valid = ms != 3
-    consq = (ms == 0) | (ms == 2)
-    adv = (ms == 0) | (ms == 1)
-
-    ncols = valid.sum(axis=1).astype(jnp.int32)
-    keep = (ncols > 500) & (bd.astype(jnp.float32) <
-                            max_diff * ncols.astype(jnp.float32))
-    keep = keep & (gidx >= 0)
-
-    cq = jnp.cumsum(consq.astype(jnp.int32), axis=1)
-    qi = jnp.clip(cq - 1, 0, q.shape[1] - 1)
-    qb = jnp.take_along_axis(q.astype(jnp.int32), qi, axis=1)
-    base = jnp.where(consq, jnp.minimum(qb, 4), 4)
-
-    tpos = s2[:, None] - 1 + jnp.cumsum(adv.astype(jnp.int32), axis=1)
-    cq_at_adv = jax.lax.cummax(jnp.where(adv, cq, 0), axis=1)
-    delta = jnp.where(adv, 0, cq - cq_at_adv)
-
-    # truncation semantics: the first out-of-cap or t<0 tag breaks the
-    # rest of the read's tag stream (falcon.c:129-161 break)
-    bad = valid & ((delta >= D) | (tpos < 0))
-    ok = valid & (jnp.cumsum(bad.astype(jnp.int32), axis=1) == 0) & \
-        keep[:, None]
-
-    # predecessor = previous emitted tag of the same read
-    ar = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
-    pv = jax.lax.cummax(jnp.where(ok, ar, -1), axis=1)
-    pidx = jnp.concatenate(
-        [jnp.full((B, 1), -1, jnp.int32), pv[:, :-1]], axis=1)
-    p_exists = pidx >= 0
-    pcl = jnp.clip(pidx, 0, S - 1)
-    p_base = jnp.minimum(jnp.take_along_axis(base, pcl, axis=1), 4)
-    p_delta = jnp.take_along_axis(delta, pcl, axis=1)
-
+    key, cls, adv = _column_tags(mvp, q, bd, gidx, s2, max_diff, T, D)
+    live = key >= 0
+    tpos = key // D            # garbage on dead lanes; masked below
+    delta = key - tpos * D
     gT = gidx[:, None].astype(jnp.int32) * T + jnp.clip(tpos, 0, T - 1)
-    in_t = (tpos >= 0) & (tpos < T)
 
-    is0 = ok & adv & in_t
-    pdc = jnp.minimum(p_delta, 2)
-    pc0 = jnp.where(p_exists, pdc * 5 + p_base, NPC0 - 1)
-    idx0 = (gT * 5 + base) * NPC0 + pc0
+    is0 = live & adv
+    idx0 = gT * (5 * NPC0) + cls
     idx0 = jnp.where(is0, idx0, L0flat.shape[0] - 1)
     L0flat = L0flat.at[idx0.reshape(-1)].add(1)
 
-    isd = ok & ~adv & in_t
-    pcd = jnp.where(p_exists, p_base, NPCD - 1)
-    idxd = ((gT * (D - 1) + jnp.clip(delta - 1, 0, D - 2)) * 5
-            + base) * NPCD + pcd
+    isd = live & ~adv
+    idxd = (gT * (D - 1) + jnp.clip(delta - 1, 0, D - 2)) \
+        * (5 * NPCD) + cls
     idxd = jnp.where(isd, idxd, Ldflat.shape[0] - 1)
     Ldflat = Ldflat.at[idxd.reshape(-1)].add(1)
     return L0flat, Ldflat
 
 
 def _column_tags(mvp, q, bd, gidx, s2, max_diff, T, D):
-    """Shared per-column tag decode: move stream -> (adv, advcum, key,
-    cls) [B, S] arrays.
+    """Shared per-column tag decode: move stream -> (key, cls, adv)
+    [B, S] arrays.
 
     key = tpos*D + delta for kept in-range tags, -1 otherwise (folds the
     ok/keep/in_t gates into one comparable).  cls = the MSA class code:
     base*NPC0+pred0 (0..79) at delta-0 columns, base*NPCD+predd (0..29)
-    at insertion columns."""
+    at insertion columns.  adv = the column advances t (delta == 0)."""
     P, B = mvp.shape
     S = P * 4
     m = jnp.stack([mvp & 3, (mvp >> 2) & 3, (mvp >> 4) & 3,
@@ -193,7 +161,7 @@ def _column_tags(mvp, q, bd, gidx, s2, max_diff, T, D):
     cls = jnp.where(adv, base * NPC0 + pc0, base * NPCD + pcd)
     in_t = (tpos >= 0) & (tpos < T)
     key = jnp.where(ok & in_t, tpos * D + delta, -1)
-    return key, cls
+    return key, cls, adv
 
 
 _T_CHUNK = 2048   # t-tile for the one-hot planes (bounds live HBM)
@@ -206,10 +174,14 @@ def accumulate_tags_mm(L0flat, Ldflat, mvp, q, bd, gidx, s2, max_diff,
     """accumulate_tags without the scatter: gather-inversion + one-hot
     matmuls (MXU path).
 
-    The XLA scatter-add in accumulate_tags serializes at ~1us/update on
-    TPU (BASELINE.md round-3 "Consensus back-ends"); at B*S ~ 8M column
-    slots per align batch that is seconds of device time.  This variant
-    produces identical counts by inverting the map: each tag column's
+    Historical motivation: round-3 notes inferred the XLA scatter-add in
+    accumulate_tags serialized at ~1us/update; the direct microbenchmark
+    (BASELINE.md round-3 addendum) DISPROVED that -- the scatter runs at
+    ~44ns/column-slot (89ms/batch at production shapes) and this matmul
+    variant loses ~10x to it on HBM traffic for its one-hot planes.  It
+    stays available (FTPU_CNS_MM=1) as the MXU formulation and a parity
+    cross-check.  It produces identical counts by inverting the map:
+    each tag column's
     key = tpos*D + delta is STRICTLY increasing over kept tag columns
     (tpos is nondecreasing; within a t, delta-0 precedes delta 1,2,..),
     so for each (read, t) a binary search on cummax(key) locates the
@@ -223,7 +195,7 @@ def accumulate_tags_mm(L0flat, Ldflat, mvp, q, bd, gidx, s2, max_diff,
     (tests/test_cns_dp.py::test_accumulate_tags_mm_parity)."""
     S = mvp.shape[0] * 4
     B = mvp.shape[1]
-    key, cls = _column_tags(mvp, q, bd, gidx, s2, max_diff, T, D)
+    key, cls, _adv = _column_tags(mvp, q, bd, gidx, s2, max_diff, T, D)
     M = (gidx[None, :] ==
          jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)).astype(jnp.int8)
 
@@ -233,10 +205,10 @@ def accumulate_tags_mm(L0flat, Ldflat, mvp, q, bd, gidx, s2, max_diff,
     keymono = jax.lax.cummax(key, axis=1)       # nondecreasing [B, S]
     nbits = max(1, (S + 1).bit_length())
     cls8 = cls.astype(jnp.int16)
-    Tc = min(_T_CHUNK, T)
     l0_chunks = []
     ld_chunks = []
-    for t0 in range(0, T, Tc):
+    for t0 in range(0, T, min(_T_CHUNK, T)):
+        Tc = min(_T_CHUNK, T - t0)   # clamp the last (ragged) chunk
         # binary search: lo[b, t] = first s with keymono[b, s] >= t*D
         want0 = (jnp.arange(t0, t0 + Tc, dtype=jnp.int32) * D)[None, :]
         lo = jnp.zeros((B, Tc), jnp.int32)

@@ -283,6 +283,10 @@ class Pipeline:
 
     # -- phase 1: pread overlap --------------------------------------------
     def phase1(self, preads_fn):
+        """preads_fn: one pread FASTA path (the phase-0 product) or a
+        list of paths (input_type=preads: the user's own pread FASTAs
+        feed this phase directly, stage 0 skipped -- the working version
+        of reference run1.py:485-508's unfinished preads branch)."""
         ovl_fn = os.path.join(self.dir1, "preads.ovl")
         p4f = os.path.join(self.dir2, "preads4falcon.fasta")
         if _resumable(ovl_fn, "phase1 preads.ovl") and \
@@ -292,8 +296,10 @@ class Pipeline:
         t_start = time.time()
         p = self.p
 
+        paths = [preads_fn] if isinstance(preads_fn, str) else \
+            list(preads_fn)
         store = readstore.ReadStore.from_fasta_files(
-            [preads_fn], min_len=p.pr_min_len)
+            paths, min_len=p.pr_min_len)
         store.split_blocks(int(p.pr_block_mb * 1e6))
         LOG.info("phase1: %d preads, %d bases", len(store),
                  store.total_bases)
@@ -373,15 +379,38 @@ class Pipeline:
                 LOG.exception("could not start the JAX profiler")
                 prof = None
         try:
-            preads = self.phase0()
-            if preads is None or self.p.target == "pre-assembly":
-                # reference: stop after stage 0 (run1.py:401-402,485-486)
+            if self.p.input_type == "preads":
+                # skip stage 0 entirely: the input FASTAs ARE the preads
+                # (reference run1.py:189-194 validates the value and
+                # :485-508 branches on it; its own preads path is an
+                # unfinished `raise Exception('TODO')` -- this is the
+                # working equivalent).  target=pre-assembly still quits
+                # before stage 1 (the reference's check sits above the
+                # preads branch, run1.py:485-486).
                 if self.p.target == "pre-assembly":
-                    LOG.info("target=pre-assembly; quitting after stage-0")
-                p_ctg = preads
+                    LOG.info("target=pre-assembly; nothing to do for "
+                             "input_type=preads")
+                    p_ctg = None
+                else:
+                    fofn = self.cfg["input_fofn"]
+                    paths = fasta.read_fofn(fofn) \
+                        if fofn.endswith(".fofn") else [fofn]
+                    LOG.info("input_type=preads: stage 0 skipped; "
+                             "%d pread FASTA(s) feed phase 1", len(paths))
+                    ovl = self.phase1(paths)
+                    p_ctg = self.phase2(ovl)
             else:
-                ovl = self.phase1(preads)
-                p_ctg = self.phase2(ovl)
+                preads = self.phase0()
+                if preads is None or self.p.target == "pre-assembly":
+                    # reference: stop after stage 0
+                    # (run1.py:401-402,485-486)
+                    if self.p.target == "pre-assembly":
+                        LOG.info(
+                            "target=pre-assembly; quitting after stage-0")
+                    p_ctg = preads
+                else:
+                    ovl = self.phase1(preads)
+                    p_ctg = self.phase2(ovl)
         finally:
             if prof is not None:
                 prof.stop_trace()

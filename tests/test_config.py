@@ -96,3 +96,14 @@ def test_reference_example_cfgs_parse():
         assert p.raw_block_mb > 0
         assert 0.0 < p.raw_ovl_idt <= 1.0
         assert p.target == "assembly"
+
+
+def test_invalid_input_type_raises_at_parse(tmp_path):
+    """reference run1.py:189-190: assert input_type in (raw, preads)."""
+    with pytest.raises(Exception, match="input_type"):
+        C.parse_cfg_file(_write(tmp_path, BASE + "input_type = bogus\n"))
+
+
+def test_preads_input_type_accepted(tmp_path):
+    cfg = C.parse_cfg_file(_write(tmp_path, BASE + "input_type = preads\n"))
+    assert C.StageParams(cfg).input_type == "preads"
