@@ -132,12 +132,24 @@ def _range_ok(rng):
 class DeviceCns:
     """Chunked device consensus over gated groups."""
 
-    def __init__(self, W=None, max_cells=1 << 19, chunk_tasks=8192,
-                 use_pallas=None, moves_budget=1 << 30, use_dp=None,
+    def __init__(self, W=None, max_cells=None, chunk_tasks=None,
+                 use_pallas=None, moves_budget=None, use_dp=None,
                  dp_delta_cap=None, dp_budget=None):
         import os
         from ..utils.jaxinit import setup_jax
         setup_jax()
+        if max_cells is None or moves_budget is None:
+            # TPU: big batches (B=256-1024 rows) amortize per-call
+            # overheads; the trace store (2*L*B*W int8) is a jit-internal
+            # intermediate so only ~1 is live.  CPU (tests): keep the
+            # round-3 small shapes -- XLA-CPU compile time scales with
+            # batch width and the suite pays it per shape.
+            import jax
+            on_cpu = jax.default_backend() == "cpu"
+            if max_cells is None:
+                max_cells = (1 << 19) if on_cpu else (1 << 22)
+            if moves_budget is None:
+                moves_budget = (1 << 30) if on_cpu else (1 << 31)
         if W is None:
             # the consensus aligner's band: supports start from overlap-
             # record ranges, so drift is the indel-imbalance random walk
@@ -150,8 +162,6 @@ class DeviceCns:
             W = int(os.environ.get("FTPU_CNS_W", "256"))
         self.W = W
         self.max_cells = max_cells      # B*L budget per device batch
-        self.chunk_tasks = chunk_tasks  # alignment tasks per chunk
-        self.moves_budget = moves_budget  # HBM bytes for one batch's trace
         if use_pallas is None:
             use_pallas = os.environ.get("FTPU_USE_PALLAS", "1") != "0"
         self.use_pallas = use_pallas
@@ -176,20 +186,39 @@ class DeviceCns:
         from ..ops import cns_dp as _cdp
         self.dp_delta_cap = dp_delta_cap or int(
             os.environ.get("FTPU_CNS_DP_DELTA", str(_cdp.D_DEFAULT)))
-        # HBM bytes for one DP batch's MSA count tensors
+        # HBM bytes for one DP batch's MSA count tensors.  Larger G per
+        # batch is the lane-fill lever of the scan/backtrack stages
+        # (their per-t step ops are [G, ...]-tiny; profiled round 4), so
+        # the budget errs high: ~2 batches stay live (dispatch_chunk_dp
+        # paces on the batch-before-last), bounding peak at ~2x this.
         self.dp_budget = dp_budget or int(float(
-            os.environ.get("FTPU_CNS_DP_BUDGET", str(2e9))))
+            os.environ.get("FTPU_CNS_DP_BUDGET", str(3e9))))
+        # alignment tasks per pipeline chunk: the DP path benefits from
+        # larger chunks (more groups per (T, G) batch -> fewer, fuller
+        # scans); the host-MSA path keeps chunks small enough that the
+        # finisher thread's host stage overlaps the device
+        if chunk_tasks is None:
+            chunk_tasks = 32768 if self.use_dp else 8192
+        self.chunk_tasks = chunk_tasks  # alignment tasks per chunk
+        self.moves_budget = moves_budget  # HBM bytes for one batch's trace
 
     # -- device batching ----------------------------------------------------
     def _batch_for(self, L):
-        """Batch size: bounded by the [S, B, W] move-plane HBM budget."""
+        """Batch size: bounded by the per-call [n_sb, 2SB, B, W] trace
+        store (2*L*B*W int8 bytes; it is a jit-internal intermediate, so
+        only ~1 is ever live regardless of how many calls are queued).
+        Round-4 bump: B=64 at L=16k starved the align/accumulate stages
+        with per-call overheads; 256 rows = one full pallas block."""
         B = max(1, min(self.max_cells,
                        self.moves_budget // (2 * self.W)) // max(L, 1))
         if self.use_pallas is not False:
-            return max(64, (B // 64) * 64)
-        return max(8, 1 << int(np.floor(np.log2(B))))
+            return max(64, min(1024, (B // 64) * 64))
+        return max(8, 1 << int(np.floor(np.log2(min(B, 1024)))))
 
-    def _align_tb(self, q, qlen, t, tlen):
+    def _align_tb(self, q, qlen, t, tlen, emit_base=False):
+        """emit_base: also return the traceback base stream (5-tuple) --
+        the DP path's gather-free tag decode input; only the pallas
+        kernel produces it (callers fall back on 4-tuple outputs)."""
         import jax.numpy as jnp
         if self.use_pallas:
             try:
@@ -197,7 +226,8 @@ class DeviceCns:
                 B = q.shape[0]
                 return align_tb_batch_pallas(
                     jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
-                    jnp.asarray(tlen), W=self.W, block_b=min(256, B))
+                    jnp.asarray(tlen), W=self.W, block_b=min(256, B),
+                    emit_base=emit_base)
             except Exception:
                 LOG.warning("pallas traceback kernel failed; "
                             "falling back to XLA", exc_info=True)
@@ -399,7 +429,7 @@ class DeviceCns:
                 s2_b = np.zeros(B, np.int32)
                 gi_b[:len(chunk)] = [gidx[i] for i in chunk]
                 s2_b[:len(chunk)] = [s2[i] for i in chunk]
-                outs = self._align_tb(q, qlen, t, tlen)
+                outs = self._align_tb(q, qlen, t, tlen, emit_base=True)
                 out.append((q, outs, jnp.asarray(gi_b), jnp.asarray(s2_b)))
         return out
 
@@ -433,9 +463,9 @@ class DeviceCns:
                 tasks.append((seq_to_codes(sup)[s1:e1], sc[s2:e2]))
                 gidx_l.append(g)
                 s2_l.append(s2)
-        L0, Ld = cns_dp.alloc_msa(G, T, D)
-        L0 = cns_dp.add_self_tags(L0, jnp.asarray(seeds),
-                                  jnp.asarray(tlens), T)
+        msa = cns_dp.alloc_msa(G, T, D)
+        msa = cns_dp.add_self_tags(msa, jnp.asarray(seeds),
+                                   jnp.asarray(tlens), T)
         max_diff = 1.0 - cfg.min_idt
         # Default = the scatter path: measured 89ms vs 954ms/batch for
         # the matmul variant at production shapes (B=256, S=4096,
@@ -446,18 +476,26 @@ class DeviceCns:
         # one-hot-matmul variant (bit-identical on real move streams,
         # tests/test_cns_dp.py).
         use_mm = self.use_mm
-        for (q, (bi, bj, bd, mvp), gi_b, s2_b) in \
+        for (q, outs, gi_b, s2_b) in \
                 self._dispatch_align_meta(tasks, gidx_l, s2_l):
+            bd, mvp = outs[2], outs[3]
             if use_mm:
-                L0, Ld = cns_dp.accumulate_tags_mm(
-                    L0, Ld, mvp, q, bd, gi_b, s2_b,
+                msa = cns_dp.accumulate_tags_mm(
+                    msa, mvp, q, bd, gi_b, s2_b,
                     np.float32(max_diff), T, D, G)
+            elif len(outs) == 5:
+                # pallas traceback: base stream rides along -> the
+                # gather-free decode (3 fewer TPU gathers per batch,
+                # ~70ms at production shapes; round-4 microbench)
+                msa = cns_dp.accumulate_tags_planes(
+                    msa, mvp, outs[4], bd, gi_b, s2_b,
+                    np.float32(max_diff), T, D)
             else:
-                L0, Ld = cns_dp.accumulate_tags(
-                    L0, Ld, mvp, q, bd, gi_b, s2_b,
+                msa = cns_dp.accumulate_tags(
+                    msa, mvp, q, bd, gi_b, s2_b,
                     np.float32(max_diff), T, D)
         bp, cov, gb_s, gb_t, gb_d, gb_b = cns_dp.consensus_scan(
-            L0, Ld, G, T, D)
+            msa, G, T, D)
         emit = cns_dp.backtrack(bp, cov, gb_s, gb_t, gb_d, gb_b,
                                 np.int32(cfg.min_cov), G, T, D)
         # compact on device: collect fetches [G, cap+1] rows instead of
@@ -493,9 +531,12 @@ class DeviceCns:
                 n_tasks += st[3]
                 batches.append(st)
                 # bound live MSA buffers: wait for the scan of the
-                # batch-before-last before queueing more
+                # batch-before-last before queueing more.  A real sync
+                # (1-element fetch) -- block_until_ready does not
+                # reliably block on the axon remote runtime.
                 if len(batches) > 2:
-                    batches[-3][2].block_until_ready()
+                    import jax as _jax
+                    _jax.device_get(batches[-3][2][0:1])
         LOG.info("cns.device-dp: chunk of %d groups -> %d DP batches "
                  "(%d aln tasks, T buckets %s) dispatched in %.1fs",
                  len(chunk), len(batches), n_tasks,

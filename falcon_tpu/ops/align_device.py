@@ -429,6 +429,19 @@ class DeviceExtender:
         import jax.numpy as jnp
         _log = logging.getLogger(__name__)
         _t_disp = _time.time()
+        multi = len(jax.devices()) > 1
+        if multi and not self.use_packed:
+            # the sharded spec path rides the packed gather; the
+            # unpacked opt-out stays single-device
+            self.use_packed = True
+        if multi and not hasattr(self, "_mesh"):
+            from ..parallel.mesh import make_mesh
+            self._mesh = make_mesh()
+            self._n_dev = int(np.prod(self._mesh.devices.shape))
+            # mosaic kernels are TPU-only; the virtual CPU test mesh
+            # rides the XLA extension kernel
+            self._mesh_pallas = bool(self.use_pallas) and all(
+                d.platform != "cpu" for d in self._mesh.devices.flat)
         # band cap: the longer side never advances past min(len) + W/2
         cap = np.minimum(q_len, t_len) + (self.W // 2 + 8)
         q_len = np.minimum(q_len, cap).astype(np.int32)
@@ -463,7 +476,13 @@ class DeviceExtender:
             idxs = idxs[np.argsort((q_len + t_len)[idxs], kind="stable")]
             L = int(L)
             B = self._batch_for(L)
+            if multi:
+                # per-device shard must be a whole number of 256-row
+                # pallas blocks
+                tile = 256 * self._n_dev
+                B = max(tile, (B // tile) * tile)
             n_buckets += 1
+            self._account_cells(q_len[idxs] + t_len[idxs], B, L)
             for ofs in range(0, len(idxs), B):
                 chunk = idxs[ofs:ofs + B]
                 sel = np.zeros((6, B), np.int32)
@@ -472,12 +491,19 @@ class DeviceExtender:
                 # ONE H2D for all six spec vectors; rows sliced on device
                 # (six small asarrays per batch were latency-bound on the
                 # tunneled chip)
-                sel_d = jnp.asarray(sel)
-                qd, td = gather_fn(
-                    flat_d, sel_d[0], sel_d[1], sel_d[2], sel_d[3],
-                    sel_d[4], sel_d[5], L=L, fill_q=4, fill_t=5)
-                inflight.append(
-                    (chunk, self._extend(qd, sel_d[1], td, sel_d[4])))
+                if multi:
+                    from ..parallel.mesh import sharded_specs_extend
+                    outs = sharded_specs_extend(
+                        self._mesh, flat_d, jnp.asarray(sel), L, self.W,
+                        self.end_bonus, self._mesh_pallas)
+                    inflight.append((chunk, outs))
+                else:
+                    sel_d = jnp.asarray(sel)
+                    qd, td = gather_fn(
+                        flat_d, sel_d[0], sel_d[1], sel_d[2], sel_d[3],
+                        sel_d[4], sel_d[5], L=L, fill_q=4, fill_t=5)
+                    inflight.append(
+                        (chunk, self._extend(qd, sel_d[1], td, sel_d[4])))
                 n_batches += 1
         _t_coll = _time.time()
         fetched = jax.device_get([outs for _, outs in inflight])
@@ -485,9 +511,44 @@ class DeviceExtender:
             for k, idx in enumerate(chunk):
                 results[idx] = (int(bi[k]), int(bj[k]), int(bd[k]))
         _log.info("extender(specs): %d tasks, %d buckets, %d batches; "
-                  "dispatch %.1fs collect %.1fs", n, n_buckets, n_batches,
-                  _t_coll - _t_disp, _time.time() - _t_coll)
+                  "dispatch %.1fs collect %.1fs (occupancy %.2f cum)",
+                  n, n_buckets, n_batches,
+                  _t_coll - _t_disp, _time.time() - _t_coll,
+                  self.occupancy() or 0.0)
         return results
+
+    def _account_cells(self, s_true, B, L):
+        """Track issued vs useful DP cells for one bucket's batches.
+
+        The pallas kernel charges, per 256-row tile, W lanes x the
+        tile's max anti-diagonal rounded up to a super-block (length-
+        sorted rows make tiles near-homogeneous; align_pallas max_s
+        skip).  'useful' counts each real task's own (ql+tl) sweep.
+        Feeds the occupancy field bench.py reports (VERDICT r3 weak #2:
+        short-task packing needs a measured bar from real mixes)."""
+        from .align_pallas import SB as _SB
+        tile = 256
+        sb_span = 2 * _SB
+        st = np.asarray(s_true, np.int64)
+        useful = int(st.sum())
+        issued = 0
+        for ofs in range(0, len(st), tile):
+            t = st[ofs:ofs + tile]
+            max_s = min(int(t.max()) if len(t) else 0, 2 * L)
+            issued += tile * (-(-max_s // sb_span)) * sb_span
+        if not hasattr(self, "cells_issued"):
+            self.cells_issued = 0
+            self.cells_useful = 0
+        self.cells_issued += issued
+        self.cells_useful += useful
+        return issued, useful
+
+    def occupancy(self):
+        """(useful / issued) anti-diagonal occupancy over every batch
+        this extender dispatched (band width cancels)."""
+        if not getattr(self, "cells_issued", 0):
+            return None
+        return self.cells_useful / self.cells_issued
 
     # Length ladder: pow2 with a 1024 floor.  Each distinct (B, L) shape
     # costs a ONE-TIME mosaic remote-compile (~3min on this runtime) that

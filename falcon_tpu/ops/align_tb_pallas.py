@@ -91,7 +91,12 @@ def _fwd_kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
         cand = jnp.where(j == 0, bnd_i, cand)
         mv = jnp.where(i == 0, jnp.int32(1), mv)   # row 0: up chain
         mv = jnp.where(j == 0, jnp.int32(2), mv)   # col 0: left chain
-        mv_ref[0, s_off - 1] = mv.astype(jnp.int8)
+        # pack the q char q[i-1] into bits 2-4 of the trace plane (same
+        # int8, no extra HBM traffic); the backward walk extracts it so
+        # the consensus tag decode needs NO host-visible q gather
+        # (ops.cns_dp.accumulate_tags_planes)
+        mv_ref[0, s_off - 1] = (mv | (jnp.minimum(qc, 4) << 2)) \
+            .astype(jnp.int8)
         valid = (i >= 0) & (i <= qlen) & (j >= 0) & (j <= tlen)
         cur = jnp.where(valid, jnp.minimum(cand, INF32), INF32)
 
@@ -132,7 +137,8 @@ def _fwd_kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
         bd_ref[:, 0] = jnp.where(found, d_, 0)
 
 
-def _bwd_kernel(mv_ref, bi_ref, bj_ref, out_ref, st_ref, W, n_sb):
+def _bwd_kernel(mv_ref, bi_ref, bj_ref, out_ref, base_ref, st_ref, W,
+                n_sb):
     BT = bi_ref.shape[0]
     g = pl.program_id(1)
     sb = n_sb - 1 - g
@@ -156,6 +162,7 @@ def _bwd_kernel(mv_ref, bi_ref, bj_ref, out_ref, st_ref, W, n_sb):
     @pl.when(~any_here)
     def _skip():
         out_ref[0, :, :] = jnp.full((2 * SB, BT), 3, jnp.int8)
+        base_ref[0, :, :] = jnp.full((2 * SB, BT), 4, jnp.int8)
 
     @pl.when(any_here)
     def _walk():
@@ -171,9 +178,16 @@ def _bwd_kernel(mv_ref, bi_ref, bj_ref, out_ref, st_ref, W, n_sb):
             plane = mv_ref[0, slot, :, :].astype(jnp.int32)   # [BT, W]
             lane = ii - o
             sel = (lanes1 == lane[:, None]) & act[:, None]
-            m = jnp.max(jnp.where(sel, plane, jnp.int32(0)), axis=1)
+            pk = jnp.max(jnp.where(sel, plane, jnp.int32(0)), axis=1)
+            m = pk & 3
             mv = jnp.where(act, m, jnp.int32(3))
             out_ref[0, slot, :] = mv.astype(jnp.int8)
+            # q[i-1] travels in bits 2-4 of the trace plane; a consensus
+            # tag column's base is it when the move consumes q
+            # (diag/left), '-' (4) on deletions
+            qc = pk >> 2
+            base_ref[0, slot, :] = jnp.where(
+                act & (m != 1), qc, jnp.int32(4)).astype(jnp.int8)
             di = ((mv == 0) | (mv == 2)).astype(jnp.int32)
             dj = ((mv == 0) | (mv == 1)).astype(jnp.int32)
             ii = ii - jnp.where(act, di, 0)
@@ -185,16 +199,18 @@ def _bwd_kernel(mv_ref, bi_ref, bj_ref, out_ref, st_ref, W, n_sb):
 
 
 @functools.partial(jax.jit, static_argnames=("W", "end_bonus", "block_b",
-                                              "interpret"))
+                                              "interpret", "emit_base"))
 def align_tb_batch_pallas(q, qlen, t, tlen, W=256, end_bonus=3,
-                          block_b=256, interpret=False):
+                          block_b=256, interpret=False, emit_base=False):
     """Pallas version of ops.align_tb.align_tb_batch (int8 inputs).
 
     q: [B, L] int8 codes (pad 4); t: [B, L] int8 codes (pad 5).
     B a multiple of block_b; L a multiple of 2*SB.
     interpret=True runs both kernels in pallas interpret mode (CPU
     parity tests; mosaic is TPU-only).
-    Returns (best_i, best_j, best_d, moves[S, B] int8 end->start order).
+    Returns (best_i, best_j, best_d, moves[S, B] int8 end->start order);
+    with emit_base also the per-column q-base stream [S, B] int8 in
+    START->END order (the consensus tag decode's gather-free input).
     """
     B, L = q.shape
     assert t.shape == (B, L)
@@ -266,7 +282,10 @@ def align_tb_batch_pallas(q, qlen, t, tlen, W=256, end_bonus=3,
     )(qwin, twin, qlen2, tlen2, minlen)
 
     bkern = functools.partial(_bwd_kernel, W=W, n_sb=n_sb)
-    moves = pl.pallas_call(
+    sbspec = pl.BlockSpec((1, 2 * SB, block_b),
+                          lambda b, g: (n_sb - 1 - g, 0, b),
+                          memory_space=pltpu.VMEM)
+    moves, bases = pl.pallas_call(
         bkern,
         grid=(nb, n_sb),
         in_specs=[
@@ -278,10 +297,9 @@ def align_tb_batch_pallas(q, qlen, t, tlen, W=256, end_bonus=3,
             pl.BlockSpec((block_b, 1), lambda b, g: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2 * SB, block_b),
-                               lambda b, g: (n_sb - 1 - g, 0, b),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_sb, 2 * SB, B), jnp.int8),
+        out_specs=[sbspec, sbspec],
+        out_shape=[jax.ShapeDtypeStruct((n_sb, 2 * SB, B), jnp.int8),
+                   jax.ShapeDtypeStruct((n_sb, 2 * SB, B), jnp.int8)],
         scratch_shapes=[pltpu.VMEM((block_b, 4), jnp.int32)],
         interpret=interpret,
     )(planes, bi[:, 0:1], bj[:, 0:1])
@@ -291,4 +309,10 @@ def align_tb_batch_pallas(q, qlen, t, tlen, W=256, end_bonus=3,
     # matching the XLA fallback's output contract
     from .align_tb import pack_moves
     moves_sb = moves.reshape(n_sb * 2 * SB, B)[::-1]
+    if emit_base:
+        # base stream in START->END order (the tag-decode's frame), one
+        # int8 per alignment column; stays on device
+        # (ops.cns_dp.accumulate_tags_planes)
+        return (bi[:, 0], bj[:, 0], bd[:, 0], pack_moves(moves_sb),
+                bases.reshape(n_sb * 2 * SB, B))
     return bi[:, 0], bj[:, 0], bd[:, 0], pack_moves(moves_sb)

@@ -59,24 +59,41 @@ NOEMIT = 15
 
 
 def l0_size(G, T):
-    return G * T * 5 * NPC0 + 1    # +1 dump slot for masked-out tags
+    return G * T * 5 * NPC0
 
 
 def ld_size(G, T, D):
-    return G * T * (D - 1) * 5 * NPCD + 1
+    return G * T * (D - 1) * 5 * NPCD
+
+
+def msa_size(G, T, D):
+    """[L0 region | Ld region | 1 dump slot for masked-out tags]."""
+    return l0_size(G, T) + ld_size(G, T, D) + 1
 
 
 def alloc_msa(G, T, D):
-    """Fresh (L0flat, Ldflat) count buffers for one DP batch."""
-    return (jnp.zeros(l0_size(G, T), jnp.uint16),
-            jnp.zeros(ld_size(G, T, D), jnp.uint16))
+    """Fresh combined count buffer for one DP batch (see msa_size)."""
+    return jnp.zeros(msa_size(G, T, D), jnp.uint16)
+
+
+def _msa_views(msa, G, T, D):
+    """(L0 [G, T, 5*NPC0], Ld [G, T, (D-1)*5*NPCD]) views."""
+    L0SZ = l0_size(G, T)
+    return (msa[:L0SZ].reshape(G, T, 5 * NPC0),
+            msa[L0SZ:L0SZ + ld_size(G, T, D)].reshape(
+                G, T, (D - 1) * 5 * NPCD))
 
 
 @functools.partial(jax.jit, static_argnames=("T", "D"),
-                   donate_argnums=(0, 1))
-def accumulate_tags(L0flat, Ldflat, mvp, q, bd, gidx, s2, max_diff, T, D):
-    """Scatter one align batch's tags into the MSA count buffers.
+                   donate_argnums=(0,))
+def accumulate_tags(msa, mvp, q, bd, gidx, s2, max_diff, T, D):
+    """Scatter one align batch's tags into the combined MSA count buffer.
 
+    msa:  flat uint16 buffer from alloc_msa (combined L0|Ld|dump layout:
+          ONE scatter per batch instead of two -- the scatter's cost is
+          ~linear in issued updates, so merging the delta-0 and
+          insertion scatters halves the accumulate stage, profiled
+          round 4)
     mvp:  [P, B] uint8 packed move stream (align_tb, end->start order)
     q:    [B, Lq] int8 support-slice codes (pad 4)
     bd:   [B] int32 edit distance (the keep gate: ncols>500 and
@@ -87,27 +104,114 @@ def accumulate_tags(L0flat, Ldflat, mvp, q, bd, gidx, s2, max_diff, T, D):
     The tag decode + gating lives in _column_tags (shared with
     accumulate_tags_mm so both paths gate identically by construction);
     key/cls encode exactly the flat MSA indices:
-      delta-0 column:  idx0 = (gidx*T + tpos) * 5*NPC0 + cls
-      insertion col:   idxd = ((gidx*T + tpos)*(D-1) + delta-1)*5*NPCD
+      delta-0 column:  (gidx*T + tpos) * 5*NPC0 + cls
+      insertion col:   L0SZ + ((gidx*T + tpos)*(D-1) + delta-1)*5*NPCD
                               + cls
     """
+    G = _g_of(msa.shape[0], T, D)
+    L0SZ = l0_size(G, T)
     key, cls, adv = _column_tags(mvp, q, bd, gidx, s2, max_diff, T, D)
     live = key >= 0
     tpos = key // D            # garbage on dead lanes; masked below
     delta = key - tpos * D
     gT = gidx[:, None].astype(jnp.int32) * T + jnp.clip(tpos, 0, T - 1)
 
-    is0 = live & adv
     idx0 = gT * (5 * NPC0) + cls
-    idx0 = jnp.where(is0, idx0, L0flat.shape[0] - 1)
-    L0flat = L0flat.at[idx0.reshape(-1)].add(1)
-
-    isd = live & ~adv
-    idxd = (gT * (D - 1) + jnp.clip(delta - 1, 0, D - 2)) \
+    idxd = L0SZ + (gT * (D - 1) + jnp.clip(delta - 1, 0, D - 2)) \
         * (5 * NPCD) + cls
-    idxd = jnp.where(isd, idxd, Ldflat.shape[0] - 1)
-    Ldflat = Ldflat.at[idxd.reshape(-1)].add(1)
-    return L0flat, Ldflat
+    idx = jnp.where(live & adv, idx0,
+                    jnp.where(live, idxd, msa.shape[0] - 1))
+    return msa.at[idx.reshape(-1)].add(1)
+
+
+def _g_of(msa_len, T, D):
+    """Recover G from the combined buffer length (T, D static)."""
+    per_g = T * 5 * NPC0 + T * (D - 1) * 5 * NPCD
+    return (msa_len - 1) // per_g
+
+
+def _column_tags_planes(mvp, basep, bd, gidx, s2, max_diff, T, D):
+    """Gather-free _column_tags: per-column q-bases come from the
+    traceback kernel's base stream instead of a q gather, and the
+    predecessor class from a cummax latch instead of two more gathers.
+
+    The three take_along_axis gathers were ~100ms of the 106ms decode at
+    production shapes (round-4 microbenchmark, ~18ns per gathered
+    element on TPU); everything left is elementwise + log-step cumsums.
+
+    mvp:   [P, B] uint8 packed move stream (end->start order)
+    basep: [S, B] int8 q-base per column in START->END order
+           (align_tb_batch_pallas emit_base: q[i-1] where the move
+           consumes q, else 4)
+    Returns (key, cls, adv) with identical semantics to _column_tags.
+    """
+    P, B = mvp.shape
+    S = P * 4
+    m = jnp.stack([mvp & 3, (mvp >> 2) & 3, (mvp >> 4) & 3,
+                   (mvp >> 6) & 3], axis=1)
+    ms = jnp.flip(m.reshape(S, B), axis=0).T.astype(jnp.int32)  # [B, S]
+    valid = ms != 3
+    consq = (ms == 0) | (ms == 2)
+    adv = (ms == 0) | (ms == 1)
+
+    ncols = valid.sum(axis=1).astype(jnp.int32)
+    keep = (ncols > 500) & (bd.astype(jnp.float32) <
+                            max_diff * ncols.astype(jnp.float32))
+    keep = keep & (gidx >= 0)
+
+    base = basep.T.astype(jnp.int32)                            # [B, S]
+
+    cq = jnp.cumsum(consq.astype(jnp.int32), axis=1)
+    advcum = jnp.cumsum(adv.astype(jnp.int32), axis=1)
+    tpos = s2[:, None] - 1 + advcum
+    cq_at_adv = jax.lax.cummax(jnp.where(adv, cq, 0), axis=1)
+    delta = jnp.where(adv, 0, cq - cq_at_adv)
+
+    bad = valid & ((delta >= D) | (tpos < 0))
+    ok = valid & (jnp.cumsum(bad.astype(jnp.int32), axis=1) == 0) & \
+        keep[:, None]
+
+    # predecessor latch: enc packs (s, delta, base) of each kept column;
+    # cummax + shift yields the previous kept column's fields without a
+    # gather (s strictly increasing makes cummax = last-kept)
+    ar = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    enc = jnp.where(ok, (ar << 7) | (delta << 3) | base, -1)
+    lat = jax.lax.cummax(enc, axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), lat[:, :-1]], axis=1)
+    p_exists = prev >= 0
+    p_base = prev & 7
+    p_delta = (prev >> 3) & 15
+
+    pc0 = jnp.where(p_exists, jnp.minimum(p_delta, 2) * 5 + p_base,
+                    NPC0 - 1)
+    pcd = jnp.where(p_exists, p_base, NPCD - 1)
+    cls = jnp.where(adv, base * NPC0 + pc0, base * NPCD + pcd)
+    in_t = (tpos >= 0) & (tpos < T)
+    key = jnp.where(ok & in_t, tpos * D + delta, -1)
+    return key, cls, adv
+
+
+@functools.partial(jax.jit, static_argnames=("T", "D"),
+                   donate_argnums=(0,))
+def accumulate_tags_planes(msa, mvp, basep, bd, gidx, s2, max_diff, T, D):
+    """accumulate_tags with the gather-free decode (_column_tags_planes);
+    requires the traceback kernel's base stream.  Bit-identical counts
+    to accumulate_tags (tests/test_cns_dp.py::test_planes_parity)."""
+    G = _g_of(msa.shape[0], T, D)
+    L0SZ = l0_size(G, T)
+    key, cls, adv = _column_tags_planes(mvp, basep, bd, gidx, s2,
+                                        max_diff, T, D)
+    live = key >= 0
+    tpos = key // D
+    delta = key - tpos * D
+    gT = gidx[:, None].astype(jnp.int32) * T + jnp.clip(tpos, 0, T - 1)
+    idx0 = gT * (5 * NPC0) + cls
+    idxd = L0SZ + (gT * (D - 1) + jnp.clip(delta - 1, 0, D - 2)) \
+        * (5 * NPCD) + cls
+    idx = jnp.where(live & adv, idx0,
+                    jnp.where(live, idxd, msa.shape[0] - 1))
+    return msa.at[idx.reshape(-1)].add(1)
 
 
 def _column_tags(mvp, q, bd, gidx, s2, max_diff, T, D):
@@ -168,8 +272,8 @@ _T_CHUNK = 2048   # t-tile for the one-hot planes (bounds live HBM)
 
 
 @functools.partial(jax.jit, static_argnames=("T", "D", "G"),
-                   donate_argnums=(0, 1))
-def accumulate_tags_mm(L0flat, Ldflat, mvp, q, bd, gidx, s2, max_diff,
+                   donate_argnums=(0,))
+def accumulate_tags_mm(msa, mvp, q, bd, gidx, s2, max_diff,
                        T, D, G):
     """accumulate_tags without the scatter: gather-inversion + one-hot
     matmuls (MXU path).
@@ -199,8 +303,7 @@ def accumulate_tags_mm(L0flat, Ldflat, mvp, q, bd, gidx, s2, max_diff,
     M = (gidx[None, :] ==
          jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)).astype(jnp.int8)
 
-    L0 = L0flat[:-1].reshape(G, T, 5 * NPC0)
-    Ld = Ldflat[:-1].reshape(G, T, (D - 1) * 5 * NPCD)
+    L0, Ld = _msa_views(msa, G, T, D)
 
     keymono = jax.lax.cummax(key, axis=1)       # nondecreasing [B, S]
     nbits = max(1, (S + 1).bit_length())
@@ -255,15 +358,16 @@ def accumulate_tags_mm(L0flat, Ldflat, mvp, q, bd, gidx, s2, max_diff,
         ld_chunks.append(addd.reshape(G, Tc, (D - 1) * 5 * NPCD))
     L0 = L0 + jnp.concatenate(l0_chunks, axis=1).astype(jnp.uint16)
     Ld = Ld + jnp.concatenate(ld_chunks, axis=1).astype(jnp.uint16)
-    return (jnp.concatenate([L0.reshape(-1), L0flat[-1:]]),
-            jnp.concatenate([Ld.reshape(-1), Ldflat[-1:]]))
+    return jnp.concatenate([L0.reshape(-1), Ld.reshape(-1), msa[-1:]])
 
 
 @functools.partial(jax.jit, static_argnames=("T",), donate_argnums=(0,))
-def add_self_tags(L0flat, seeds, tlens, T):
-    """The seed's identity alignment as delta-0 tags (dense one-hot add;
-    cns.device includes the seed itself as a support)."""
+def add_self_tags(msa, seeds, tlens, T):
+    """The seed's identity alignment as delta-0 tags (dense one-hot add
+    into the combined buffer's L0 region; cns.device includes the seed
+    itself as a support)."""
     G = seeds.shape[0]
+    L0SZ = G * T * 5 * NPC0
     c = jnp.minimum(seeds.astype(jnp.int32), 4)
     prev = jnp.concatenate(
         [jnp.zeros((G, 1), jnp.int32), c[:, :-1]], axis=1)
@@ -274,12 +378,11 @@ def add_self_tags(L0flat, seeds, tlens, T):
     oh = (code[:, :, None] ==
           jax.lax.broadcasted_iota(jnp.int32, (1, 1, 5 * NPC0), 2))
     upd = (oh & valid[:, :, None]).astype(jnp.uint16)
-    L0 = L0flat[:-1].reshape(G, T, 5 * NPC0) + upd
-    return jnp.concatenate([L0.reshape(-1), L0flat[-1:]])
+    return msa.at[:L0SZ].add(upd.reshape(-1))
 
 
 @functools.partial(jax.jit, static_argnames=("G", "T", "D"))
-def consensus_scan(L0flat, Ldflat, G, T, D):
+def consensus_scan(msa, G, T, D):
     """Forward DP over t (falcon.c:405-477 as one scan for G groups).
 
     Returns (bp [T, G, D*5] uint8 best-pred codes, cov [G, T] int32,
@@ -294,8 +397,7 @@ def consensus_scan(L0flat, Ldflat, G, T, D):
     # G=99,T=8192,D=14).  Flat [.., 390]/[.., 80] trailing dims pad to
     # 512/128 only; the per-step [G, k] slices inside the scan are tiny
     # and safe to reshape.
-    L0 = L0flat[:-1].reshape(G, T, 5 * NPC0)
-    Ld = Ldflat[:-1].reshape(G, T, (D - 1) * 5 * NPCD)
+    L0, Ld = _msa_views(msa, G, T, D)
     cov = L0.astype(jnp.int32).sum(axis=2)
     L0t = jnp.moveaxis(L0, 1, 0)
     Ldt = jnp.moveaxis(Ld, 1, 0)
@@ -429,17 +531,33 @@ def compact_emit(emit, cap):
     counts [G]).  The emitted stream is ~1 code per seed base, so
     fetching the compacted rows costs ~D x fewer D2H bytes than the full
     planes -- the device-DP path's dominant tunnel cost (BASELINE.md
-    round-2 "Consensus back-ends": 9.4MB/batch at 24-31 MB/s).  Codes
-    past `cap` land in the dump slot; callers detect counts > cap and
-    fall back to fetching that group's full plane."""
+    round-2 "Consensus back-ends": 9.4MB/batch at 24-31 MB/s).  Slots
+    past a group's count are unspecified; callers detect counts > cap
+    and fall back to fetching that group's full plane.
+
+    Formulated as a gather-inversion (binary search on the emission
+    cumsum), NOT a scatter: the previous [G, T*D]-wide 2-D scatter cost
+    a pathological 117s XLA compile per (T, G) shape (profiled round 4,
+    tools/profile_cns_dp.py) -- the dominant cold-start cost of the
+    whole DP path."""
     T, G, D = emit.shape
     flat = emit.transpose(1, 0, 2).reshape(G, T * D)
     mask = flat != NOEMIT
-    pos = jnp.cumsum(mask, axis=1) - 1
-    counts = jnp.sum(mask, axis=1)
-    tgt = jnp.where(mask, jnp.minimum(pos, cap), cap)
-    out = jnp.zeros((G, cap + 1), jnp.uint8)
-    out = out.at[jnp.arange(G)[:, None], tgt].set(flat)
+    pos = jnp.cumsum(mask.astype(jnp.int32), axis=1)   # 1-based rank
+    counts = pos[:, -1]
+    N = T * D
+    # out[g, k] = flat[g, first s with pos[g, s] == k+1 and mask[g, s]]
+    want = jnp.arange(1, cap + 2, dtype=jnp.int32)[None, :]   # [1, cap+1]
+    lo = jnp.zeros((G, cap + 1), jnp.int32)
+    hi = jnp.full((G, cap + 1), N, jnp.int32)
+    for _ in range(max(1, N.bit_length())):
+        mid = (lo + hi) >> 1
+        v = jnp.take_along_axis(pos, jnp.clip(mid, 0, N - 1), axis=1)
+        less = v < want
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    got = jnp.take_along_axis(flat, jnp.clip(lo, 0, N - 1), axis=1)
+    out = jnp.where(want <= counts[:, None], got, jnp.uint8(0))
     return out, counts
 
 

@@ -122,6 +122,11 @@ class Pipeline:
                      tag, i, j, k + 1, len(pairs), n_pairs, len(ovls),
                      time.time() - t0)
         tbl = otable.concat(chunks)
+        occ = getattr(aligner, "ext", None) and aligner.ext.occupancy()
+        if occ:
+            # anti-diagonal occupancy over every batch of this phase
+            # (useful vs charged DP sweep; ops.align_device accounting)
+            self.timings["%s_occupancy" % tag] = round(occ, 4)
         if n_hosts > 1:
             tbl = distributed.allgather_table(tbl)
         return engine.emit_symmetric(tbl)

@@ -224,18 +224,88 @@ def test_accumulate_tags_mm_parity(err, seed, s2mode):
         jnp.asarray(qs), jnp.asarray(qlen), jnp.asarray(ts),
         jnp.asarray(tlen), W=64)
     max_diff = np.float32(0.5)
-    L0a, Lda = cns_dp.alloc_msa(G, T, D)
-    L0a, Lda = cns_dp.accumulate_tags(
-        L0a, Lda, mvp, jnp.asarray(qs), bd, jnp.asarray(gidx),
-        jnp.asarray(s2), max_diff, T, D)
-    L0b, Ldb = cns_dp.alloc_msa(G, T, D)
-    L0b, Ldb = cns_dp.accumulate_tags_mm(
-        L0b, Ldb, mvp, jnp.asarray(qs), bd, jnp.asarray(gidx),
-        jnp.asarray(s2), max_diff, T, D, G)
+    msa_a = cns_dp.accumulate_tags(
+        cns_dp.alloc_msa(G, T, D), mvp, jnp.asarray(qs), bd,
+        jnp.asarray(gidx), jnp.asarray(s2), max_diff, T, D)
+    msa_b = cns_dp.accumulate_tags_mm(
+        cns_dp.alloc_msa(G, T, D), mvp, jnp.asarray(qs), bd,
+        jnp.asarray(gidx), jnp.asarray(s2), max_diff, T, D, G)
     # dump slots (last element) legitimately differ: the scatter path
     # routes masked-out updates there, the matmul path has none
-    a0, b0 = np.asarray(L0a)[:-1], np.asarray(L0b)[:-1]
-    ad, bdd = np.asarray(Lda)[:-1], np.asarray(Ldb)[:-1]
-    assert a0.sum() > 0, "degenerate case: no tags at all"
-    np.testing.assert_array_equal(a0, b0)
-    np.testing.assert_array_equal(ad, bdd)
+    a, b = np.asarray(msa_a)[:-1], np.asarray(msa_b)[:-1]
+    assert a.sum() > 0, "degenerate case: no tags at all"
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("err,seed", [(0.0, 31), (0.12, 32), (0.3, 33)])
+def test_planes_parity(err, seed):
+    """accumulate_tags_planes (gather-free decode driven by the
+    traceback kernel's base stream) must be bit-identical to the
+    q-gather accumulate_tags on real move streams -- including deletion
+    columns, leading insertions, and keep-gate rejected tasks."""
+    import jax.numpy as jnp
+    from falcon_tpu.ops import cns_dp
+    from falcon_tpu.ops.align_tb_pallas import align_tb_batch_pallas
+    rng = np.random.RandomState(seed)
+    T, D, G, B, L = 1024, 14, 4, 8, 1024
+    qs = np.full((B, L), 4, np.int8)
+    ts = np.full((B, L), 5, np.int8)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    gidx = np.zeros(B, np.int32)
+    s2 = np.zeros(B, np.int32)
+    for b in range(B):
+        t_arr = rng.randint(0, 4, rng.randint(600, 1000)).astype(np.uint8)
+        q_arr = noisy(t_arr, err, rng) if err else t_arr.copy()
+        if b % 3 == 1:
+            q_arr = np.concatenate(
+                [rng.randint(0, 4, 5).astype(np.uint8), q_arr])
+        qs[b, :min(len(q_arr), L)] = q_arr[:L]
+        ts[b, :len(t_arr)] = t_arr
+        qlen[b] = min(len(q_arr), L)
+        tlen[b] = len(t_arr)
+        gidx[b] = b % G if b != 2 else -1
+        s2[b] = rng.randint(0, 4)
+    bi, bj, bd, mvp, basep = align_tb_batch_pallas(
+        jnp.asarray(qs), jnp.asarray(qlen), jnp.asarray(ts),
+        jnp.asarray(tlen), W=64, block_b=8, interpret=True,
+        emit_base=True)
+    max_diff = np.float32(0.5)
+    msa_a = cns_dp.accumulate_tags(
+        cns_dp.alloc_msa(G, T, D), mvp, jnp.asarray(qs), bd,
+        jnp.asarray(gidx), jnp.asarray(s2), max_diff, T, D)
+    msa_b = cns_dp.accumulate_tags_planes(
+        cns_dp.alloc_msa(G, T, D), mvp, basep, bd,
+        jnp.asarray(gidx), jnp.asarray(s2), max_diff, T, D)
+    a, b_ = np.asarray(msa_a)[:-1], np.asarray(msa_b)[:-1]
+    assert a.sum() > 0, "degenerate case: no tags at all"
+    np.testing.assert_array_equal(a, b_)
+
+
+def test_emit_base_moves_unchanged():
+    """emit_base must not perturb the moves contract (the q char rides
+    spare bits of the internal trace planes only)."""
+    import jax.numpy as jnp
+    from falcon_tpu.ops.align_tb_pallas import align_tb_batch_pallas
+    rng = np.random.RandomState(44)
+    B, L = 8, 512
+    qs = np.full((B, L), 4, np.int8)
+    ts = np.full((B, L), 5, np.int8)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    for b in range(B):
+        t_arr = rng.randint(0, 4, rng.randint(300, 500)).astype(np.uint8)
+        q_arr = noisy(t_arr, 0.1, rng)
+        qs[b, :min(len(q_arr), L)] = q_arr[:L]
+        ts[b, :len(t_arr)] = t_arr
+        qlen[b] = min(len(q_arr), L)
+        tlen[b] = len(t_arr)
+    a = align_tb_batch_pallas(jnp.asarray(qs), jnp.asarray(qlen),
+                              jnp.asarray(ts), jnp.asarray(tlen),
+                              W=64, block_b=8, interpret=True)
+    b_ = align_tb_batch_pallas(jnp.asarray(qs), jnp.asarray(qlen),
+                               jnp.asarray(ts), jnp.asarray(tlen),
+                               W=64, block_b=8, interpret=True,
+                               emit_base=True)
+    for x, y in zip(a, b_[:4]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

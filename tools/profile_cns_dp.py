@@ -81,10 +81,18 @@ def main():
     stage_n = collections.Counter()
     shapes = collections.defaultdict(set)
 
+    def hard_sync(out):
+        # block_until_ready does not reliably block on the axon remote
+        # runtime (round-4 finding); fetching one element of a leaf
+        # does.  Index (not reshape: reshaping a tiled [T,G,D] device
+        # array costs a 165s one-time XLA compile) a single scalar.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        jax.device_get(leaf[(0,) * leaf.ndim])
+
     def timed(name, fn, *a, **kw):
         t0 = time.time()
         out = fn(*a, **kw)
-        jax.block_until_ready(out)
+        hard_sync(out)
         stage_t[name] += time.time() - t0
         stage_n[name] += 1
         return out
@@ -136,23 +144,31 @@ def main():
                         gidx_l.append(g)
                         s2_l.append(s2v)
                 stage_t["hostprep"] += time.time() - t0
-                L0, Ld = timed("alloc", cns_dp.alloc_msa, G, T, D)
-                L0 = timed("selftags", cns_dp.add_self_tags, L0,
-                           jnp.asarray(seeds), jnp.asarray(tlens), T)
+                msa = timed("alloc", cns_dp.alloc_msa, G, T, D)
+                msa = timed("selftags", cns_dp.add_self_tags, msa,
+                            jnp.asarray(seeds), jnp.asarray(tlens), T)
                 max_diff = 1.0 - cfg.min_idt
                 t0 = time.time()
                 metas = dev._dispatch_align_meta(tasks, gidx_l, s2_l)
-                jax.block_until_ready([m[1] for m in metas])
+                for m_ in metas:
+                    hard_sync(m_[1])
                 stage_t["align"] += time.time() - t0
                 stage_n["align"] += len(metas)
-                for (q, (bi, bj, bd, mvp), gi_b, s2_b) in metas:
+                for (q, outs, gi_b, s2_b) in metas:
+                    bd, mvp = outs[2], outs[3]
                     shapes["acc"].add((mvp.shape, q.shape, T))
-                    L0, Ld = timed(
-                        "acc", cns_dp.accumulate_tags, L0, Ld, mvp, q,
-                        bd, gi_b, s2_b, np.float32(max_diff), T, D)
+                    if len(outs) == 5:
+                        msa = timed(
+                            "acc", cns_dp.accumulate_tags_planes, msa,
+                            mvp, outs[4], bd, gi_b, s2_b,
+                            np.float32(max_diff), T, D)
+                    else:
+                        msa = timed(
+                            "acc", cns_dp.accumulate_tags, msa, mvp, q,
+                            bd, gi_b, s2_b, np.float32(max_diff), T, D)
                 shapes["scan"].add((G, T))
                 out_scan = timed("scan", cns_dp.consensus_scan,
-                                 L0, Ld, G, T, D)
+                                 msa, G, T, D)
                 bp, cov, gb_s, gb_t, gb_d, gb_b = out_scan
                 emit = timed("bt", cns_dp.backtrack, bp, cov, gb_s,
                              gb_t, gb_d, gb_b, np.int32(cfg.min_cov),
