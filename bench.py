@@ -211,6 +211,59 @@ def bench_reference_c(q, qlen, t, tlen, max_pairs=8):
     return total_bases / dt if dt > 0 else None
 
 
+def mix_occupancy(genome_size=2_000_000, coverage=16):
+    """Anti-diagonal occupancy of the extension path on a REAL e2e task
+    mix: simulate a genome, run the overlap engine's seeding+chaining to
+    get true extension candidates, and run the extender's cell
+    accounting over their spec lengths (host-only; no device work).
+    This is the occupancy bar VERDICT r3 asked bench.py to carry -- the
+    synthetic B x L batch below is length-homogeneous and cannot see
+    short-task padding."""
+    try:
+        from falcon_tpu.io import readstore
+        from falcon_tpu.overlap import engine, table as T
+        from falcon_tpu.ops.align_device import DeviceExtender
+        from falcon_tpu.utils import sim
+        genome = sim.random_genome(genome_size, seed=77)
+        reads = sim.simulate_reads(genome, coverage=coverage,
+                                   mean_len=9000, min_len=2000,
+                                   error=0.08, seed=78, fast=True)
+        store = readstore.ReadStore.from_seqs([s for _, s in reads])
+        rids = np.arange(len(store), dtype=np.int64)
+        params = engine.OverlapParams(k=14, min_hits=4,
+                                      band_tolerance=250, stride=4,
+                                      min_overlap=1000, min_idt=0.70)
+        ext = DeviceExtender(W=256)
+        cap_slack = ext.W // 2 + 8
+
+        def capture(store_, index, rids_a, cands, params_):
+            if not cands:
+                return T.empty(0)
+            c = np.asarray(cands, dtype=np.int64)
+            qa, ta = c[:, 3], c[:, 4]
+            a_len = store_.lengths[rids_a[c[:, 0]]].astype(np.int64)
+            blen = index.lens[c[:, 1]].astype(np.int64)
+            q_len = np.concatenate([a_len - qa, qa])
+            t_len = np.concatenate([blen - ta, ta])
+            cap = np.minimum(q_len, t_len) + cap_slack
+            q_len = np.minimum(q_len, cap)
+            t_len = np.minimum(t_len, cap)
+            m = np.maximum(np.maximum(q_len, t_len), 1)
+            Ls = ext._bucket_ladder(m)
+            for L in np.unique(Ls):
+                idxs = np.nonzero(Ls == L)[0]
+                s = (q_len + t_len)[idxs]
+                ext._account_cells(np.sort(s), ext._batch_for(int(L)),
+                                   int(L))
+            return T.empty(0)
+
+        engine.overlap_blocks(store, rids, rids, params,
+                              aligner=capture, same_block=True)
+        return ext.occupancy()
+    except Exception:
+        return None
+
+
 def main():
     import argparse
     p = argparse.ArgumentParser()
@@ -290,6 +343,12 @@ def main():
         rec["sol_cells_per_s"] = round(vpu_peak / OPS_PER_CELL, 1)
         util = float(np.minimum(qlen, tlen).sum()) * 2.0 * W / cells
         rec["band_occupancy"] = round(util, 4)
+        occ = mix_occupancy()
+        if occ:
+            # anti-diagonal occupancy of a REAL e2e candidate mix
+            # (short fwd/bwd extension tasks, ladder padding, tile
+            # max_s granularity) -- the short-task-packing bar
+            rec["mix_occupancy"] = round(occ, 4)
         # environment degradation flag: a capture where the trivial
         # reduce kernel runs far below this tunnel's HEALTHY level is a
         # contended tunnel/device, not a kernel property.  Healthy
