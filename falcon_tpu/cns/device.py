@@ -258,6 +258,10 @@ class DeviceCns:
         from ..ops.align_device import _gather_pad2, _pack_tasks
         for L in sorted(buckets):
             idxs = buckets[L]
+            # length-sort within the bucket: homogeneous 256-row tiles
+            # let the traceback kernel's max_s guard kill trailing
+            # super-blocks per tile (align_tb_pallas round-4 skip)
+            idxs.sort(key=lambda i: len(tasks[i][0]) + len(tasks[i][1]))
             B = self._batch_for(L)
             for ofs in range(0, len(idxs), B):
                 chunk = idxs[ofs:ofs + B]
@@ -417,6 +421,9 @@ class DeviceCns:
         out = []
         for L in sorted(buckets):
             idxs = buckets[L]
+            # length-sort (see dispatch_tasks): tile-homogeneous batches
+            # for the traceback kernel's max_s super-block skip
+            idxs.sort(key=lambda i: len(tasks[i][0]) + len(tasks[i][1]))
             B = self._batch_for(L)
             for ofs in range(0, len(idxs), B):
                 chunk = idxs[ofs:ofs + B]

@@ -48,6 +48,7 @@ def _fwd_kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
     b = pl.program_id(0)
     min_q = minlen_ref[b, 0]
     min_t = minlen_ref[b, 1]
+    max_s = minlen_ref[b, 2]
 
     @pl.when(sb == 0)
     def _init():
@@ -112,11 +113,21 @@ def _fwd_kernel(qwin_ref, twin_ref, qlen_ref, tlen_ref, minlen_ref,
 
         prev2cur_ref[:, 2:2 + W] = cur
 
-    for m in range(SB):
-        # odd step s = 2*SB*sb + 2m + 1: o_rel = m; (d1, d2) = (0, 1)
-        do_step(2 * m + 1, m, m, SB - m, 0, carry0_ref, carry1_ref)
-        # even step: o_rel = m + 1; (d1, d2) = (1, 1)
-        do_step(2 * m + 2, m + 1, m + 1, SB - m, 1, carry1_ref, carry0_ref)
+    # whole-tile dead-super-block skip (align_pallas max_s semantics):
+    # length-sorted batches make tiles near-homogeneous, so trailing
+    # super-blocks past the tile's longest task sweep go fully dead --
+    # once dead, all later sb are dead too, so the carries are never
+    # needed again.  Their (unwritten) trace planes are never read: the
+    # backward walk starts at i+j <= max_s and its own any_here skip
+    # covers the same range.
+    @pl.when(2 * SB * sb + 1 <= max_s)
+    def _sweep():
+        for m in range(SB):
+            # odd step s = 2*SB*sb + 2m + 1: o_rel = m; (d1,d2) = (0,1)
+            do_step(2 * m + 1, m, m, SB - m, 0, carry0_ref, carry1_ref)
+            # even step: o_rel = m + 1; (d1, d2) = (1, 1)
+            do_step(2 * m + 2, m + 1, m + 1, SB - m, 1, carry1_ref,
+                    carry0_ref)
 
     @pl.when(sb == pl.num_programs(1) - 1)
     def _finish():
@@ -245,7 +256,11 @@ def align_tb_batch_pallas(q, qlen, t, tlen, W=256, end_bonus=3,
     nb = B // block_b
     qv = jnp.where(qlen2[:, 0] > 0, qlen2[:, 0], L).reshape(nb, block_b)
     tv = jnp.where(tlen2[:, 0] > 0, tlen2[:, 0], L).reshape(nb, block_b)
-    minlen = jnp.stack([jnp.min(qv, axis=1), jnp.min(tv, axis=1)],
+    # max_s uses RAW lengths (pad rows contribute 0): callers sort tasks
+    # by qlen+tlen so trailing super-blocks die for whole tiles
+    sv = (qlen2[:, 0] + tlen2[:, 0]).reshape(nb, block_b)
+    minlen = jnp.stack([jnp.min(qv, axis=1), jnp.min(tv, axis=1),
+                        jnp.max(sv, axis=1)],
                        axis=1).astype(jnp.int32)
 
     fkern = functools.partial(_fwd_kernel, W=W, end_bonus=end_bonus)

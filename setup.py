@@ -36,6 +36,7 @@ setup(
             "falcon_tpu.mains.report_pre_assembly:main",
             "falcon-task = falcon_tpu.mains.tasks:main",
             "fc_hgap_adapt = falcon_tpu.mains.hgap_adapt:main",
+            "fc_snakemake = falcon_tpu.mains.gen_snakemake:main",
         ],
     },
 )

@@ -318,3 +318,41 @@ def test_hgap4_unmappable_tree_hard_error(tmp_path):
      "preads4falcon.fasta").write_text(">p\nAC\n")
     with pytest.raises(hgap_adapt.AdaptError, match="inconsistent"):
         hgap_adapt.adapt(str(job3), str(tmp_path / "run3"))
+
+
+def test_gen_snakemake(tmp_path):
+    """fc_snakemake writes a 3-rule Snakefile whose outputs are the
+    phase checkpoint artifacts (reference falcon_kit/snakemake.py
+    analog); preads-input configs drop the phase0 rule."""
+    from falcon_tpu.mains import gen_snakemake
+    cfg = tmp_path / "fc_run.cfg"
+    cfg.write_text("[General]\ninput_fofn = input.fofn\n"
+                   "genome_size = 5000\n")
+    out = tmp_path / "Snakefile"
+    assert gen_snakemake.main(["prog", str(cfg), "-o", str(out),
+                               "--run-dir", "runA"]) == 0
+    text = out.read_text()
+    for frag in ("rule all:", "rule phase0_preads:",
+                 "rule phase1_overlaps:", "rule phase2_assembly:",
+                 "0-rawreads/preads.fasta", "1-preads_ovl/preads.ovl",
+                 "2-asm-falcon/p_ctg.fa",
+                 "falcon_tpu.pipeline.driver"):
+        assert frag in text, frag
+    assert "runA/2-asm-falcon/p_ctg.fa" in text
+    # preads input: no phase0 rule; phase1 depends on the cfg
+    cfg2 = tmp_path / "fc_preads.cfg"
+    cfg2.write_text("[General]\ninput_fofn = preads.fasta\n"
+                    "input_type = preads\ngenome_size = 5000\n")
+    out2 = tmp_path / "Snakefile2"
+    gen_snakemake.main(["prog", str(cfg2), "-o", str(out2)])
+    t2 = out2.read_text()
+    assert "phase0_preads" not in t2
+    assert "phase1_overlaps" in t2
+    # a broken cfg fails at export time
+    bad = tmp_path / "bad.cfg"
+    bad.write_text("[General]\ninput_fofn = x\ninput_type = nope\n"
+                   "genome_size = 5\n")
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        gen_snakemake.main(["prog", str(bad), "-o",
+                            str(tmp_path / "S3")])
