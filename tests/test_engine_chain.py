@@ -150,3 +150,30 @@ def test_run_specs_matches_run():
     r_specs = ext.run_specs(flat, q_off, q_len, q_dir,
                             t_off, t_len, t_dir)
     assert r_mat == r_specs
+
+
+def test_cell_accounting_occupancy():
+    """DeviceExtender._account_cells mirrors the pallas kernels'
+    per-256-row-tile max_s super-block charging: homogeneous tiles ->
+    high occupancy; one long task in a tile of short ones charges the
+    whole tile at its sweep."""
+    from falcon_tpu.ops.align_device import DeviceExtender
+    from falcon_tpu.ops.align_pallas import SB
+    ext = DeviceExtender(W=64, use_pallas=False)
+    span = 2 * SB
+    # homogeneous: 256 tasks of identical sweep -> occupancy ~ s/ceil(s)
+    s = np.full(256, 1000, np.int64)
+    issued, useful = ext._account_cells(s, 256, 1024)
+    assert useful == 256 * 1000
+    assert issued == 256 * (-(-1000 // span)) * span
+    # heterogeneous: 255 tiny + 1 huge task in one tile
+    ext2 = DeviceExtender(W=64, use_pallas=False)
+    s2 = np.r_[np.full(255, 100, np.int64), [2000]]
+    issued2, useful2 = ext2._account_cells(np.sort(s2), 256, 1024)
+    assert issued2 == 256 * (-(-2000 // span)) * span
+    assert ext2.occupancy() < 0.1
+    # two tiles after sorting: the tiny tasks' tile is charged small
+    ext3 = DeviceExtender(W=64, use_pallas=False)
+    s3 = np.r_[np.full(256, 100, np.int64), np.full(256, 2000, np.int64)]
+    ext3._account_cells(np.sort(s3), 512, 1024)
+    assert ext3.occupancy() > 0.5
