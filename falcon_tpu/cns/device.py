@@ -292,6 +292,16 @@ class DeviceCns:
         # np.asarray costs a ~25ms tunnel round-trip each on a networked
         # chip (4 outputs x dozens of batches = seconds of pure RTT)
         fetched = jax.device_get([outs for _, outs in inflight])
+        # free the device arrays NOW: the axon client releases fetched
+        # buffers (and their host shadows) lazily, which grew RSS by
+        # ~150-240MB per chunk at Dmel scale until the client wedged
+        # (round-4 100Mb run); explicit deletes keep it flat
+        for _, outs in inflight:
+            for a in outs:
+                try:
+                    a.delete()
+                except Exception:
+                    pass
         use_native = native.available()
         for (chunk, _), (bi, bj, bd, mvp) in zip(inflight, fetched):
             _t0 = _time.time()
@@ -577,6 +587,14 @@ class DeviceCns:
                 else:
                     out[ci] = (chunk[ci][0],
                                cns_dp.assemble_compacted(comp[g], cnt))
+        # explicit device-buffer deletes (see collect_tasks: the axon
+        # client frees fetched/retired buffers lazily)
+        for st in batches:
+            for a in (st[1], st[2], st[4], st[5]):
+                try:
+                    a.delete()
+                except Exception:
+                    pass
         LOG.info("cns.device-dp: collected %d groups in %.1fs"
                  "%s", len(chunk), _time.time() - t0,
                  " (%d overflow plane fetches)" % n_overflow
