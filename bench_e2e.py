@@ -58,6 +58,8 @@ def main():
                                mean_len=args.mean_len, min_len=2000,
                                error=args.error, seed=102, fast=True)
     fasta.write_fasta("raw_reads.fa", reads, width=0)
+    with open("genome.txt", "w") as f:
+        f.write(genome)         # truth for tools/check_assembly.py
     n_bases = sum(len(s) for _, s in reads)
     t_sim = time.time() - t0
     print("simulated %d reads, %.1f Mbases in %.0fs" %

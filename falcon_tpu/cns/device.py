@@ -625,12 +625,20 @@ class DeviceCns:
         return (r.s1, r.e1, r.s2, r.e2)
 
 
-def run_consensus_device(groups, cfg, out, dev=None):
+def run_consensus_device(groups, cfg, out, dev=None, progress_cb=None):
     """Device-path drop-in for cns.runner.run_consensus.
 
     groups: iterable of (seed_id, [(read_id, seq, rng), ...]) with the
     seed first (rng=None for it).  Writes pread FASTA to `out`; returns
-    the number of sequences emitted."""
+    the number of sequences emitted.
+
+    progress_cb(k): called after each chunk's output is fully written,
+    with k = how many input groups are completely processed (gated-out
+    groups between chunks count at the next chunk boundary).  Because
+    emission order == dispatch order, the first k groups' output is
+    durable once the callback fires -- the driver uses this for
+    mid-phase checkpointing (the consensus phase is hours at >=100Mb
+    scale and the remote-TPU client can wedge mid-run)."""
     from concurrent.futures import ThreadPoolExecutor
     from . import runner
     dev = dev or DeviceCns()
@@ -638,17 +646,37 @@ def run_consensus_device(groups, cfg, out, dev=None):
     chunk = []
     n_tasks = 0
     futs = []
+    n_pulled = [0]       # groups pulled from the iterator
+    chunk_mark = [0]     # n_pulled when the current chunk was cut
 
     finish_one = dev.finish_chunk_dp if dev.use_dp else dev.finish_chunk
     dispatch_one = dev.dispatch_chunk_dp if dev.use_dp else \
         dev.dispatch_chunk
 
-    def finish(state):
+    n_chunks = [0]
+
+    def finish(state, mark):
         # single finisher thread: emission order == dispatch order, and
         # `out` is only ever written from here
         nonlocal emitted
         for seed_id, cns in finish_one(state):
             emitted += runner.format_output(cns, seed_id, cfg, out)
+        if progress_cb is not None:
+            progress_cb(mark)
+        # break reference cycles holding retired jax arrays: combined
+        # with the explicit deletes in collect, this keeps RSS flat on
+        # long runs (the 100Mb e2e leaked ~130MB/chunk without it)
+        n_chunks[0] += 1
+        import gc
+        gc.collect()
+        if n_chunks[0] % 25 == 0:
+            try:
+                rss = int(open("/proc/self/statm").read().split()[1]) \
+                    * 4096 // (1 << 20)
+                LOG.info("cns.device: chunk %d, rss %d MB",
+                         n_chunks[0], rss)
+            except OSError:
+                pass
 
     # Software pipeline, depth 2: the main thread gates groups and
     # dispatches device batches; the finisher thread blocks on collect
@@ -662,7 +690,7 @@ def run_consensus_device(groups, cfg, out, dev=None):
             state = dispatch_one(chunk, cfg)
             chunk = []
             n_tasks = 0
-            futs.append(finisher.submit(finish, state))
+            futs.append(finisher.submit(finish, state, chunk_mark[0]))
             while len(futs) > 2:     # bound in-flight chunks (HBM/host RAM)
                 futs.pop(0).result()
 
@@ -677,6 +705,7 @@ def run_consensus_device(groups, cfg, out, dev=None):
             t_gen += _time.time()
             if nxt is None:
                 break
+            n_pulled[0] += 1
             seed_id, items = nxt
             t_gate -= _time.time()
             gated = gate_group_ranged(seed_id, items, cfg)
@@ -685,10 +714,14 @@ def run_consensus_device(groups, cfg, out, dev=None):
                 continue
             seed_seq, sups = gated
             chunk.append((seed_id, seed_seq, sups))
+            chunk_mark[0] = n_pulled[0]
             n_tasks += len(sups)
             if n_tasks >= dev.chunk_tasks:
                 flush()
         flush()
+        if progress_cb is not None and n_pulled[0] > chunk_mark[0]:
+            # trailing gated-out groups after the last chunk
+            futs.append(finisher.submit(progress_cb, n_pulled[0]))
         for f in futs:
             f.result()
         LOG.info("cns.device: total %.1fs (group gen %.1fs, gate %.1fs)",

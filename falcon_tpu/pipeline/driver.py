@@ -211,28 +211,73 @@ class Pipeline:
             # the host runner (cns.runner.consensus_with_trim_for_group)
             LOG.info("phase0: --trim set; using host consensus runner")
 
-        def groups():
+        # mid-phase checkpoint: the consensus phase is hours at >=100Mb
+        # scale; after each device chunk the progress marker records how
+        # many LIVE seed groups are durably written, and a restart skips
+        # them (group order is deterministic given the checkpointed
+        # overlap table).  The reference gets the same granularity from
+        # per-task pypeflow sentinels (cns_00001.. task dirs).
+        prog_fn = preads_fn + ".progress"
+        done_groups = 0
+        out_mode = "w"
+        if os.path.exists(prog_fn) and os.path.exists(preads_fn + ".tmp"):
+            try:
+                parts = open(prog_fn).read().split()
+                done_groups, good_bytes = int(parts[0]), int(parts[1])
+                # drop any partial tail written after the last durable
+                # marker (the writer may have died mid-record)
+                with open(preads_fn + ".tmp", "r+") as tf:
+                    tf.truncate(good_bytes)
+                out_mode = "a"
+                LOG.info("phase0: resuming consensus past %d finished "
+                         "groups (%d bytes kept)", done_groups,
+                         good_bytes)
+            except (ValueError, IndexError, OSError):
+                done_groups = 0
+
+        def groups(skip=0):
             a_ids = recs["a_id"]
             if len(recs) == 0:
                 return
             starts = np.flatnonzero(
                 np.r_[True, a_ids[1:] != a_ids[:-1]]).tolist()
             starts.append(len(recs))
+            live_idx = 0
             for gi in range(len(starts) - 1):
-                yield self._make_group(
-                    store, recs[starts[gi]:starts[gi + 1]], cutoff,
-                    as_codes=use_dev_cns)
-        with open(preads_fn + ".tmp", "w") as out:
-            live = (g for g in groups() if g is not None)
+                rows = recs[starts[gi]:starts[gi + 1]]
+                rid = int(rows["a_id"][0])
+                if store.lengths[rid] < cutoff:
+                    continue
+                live_idx += 1
+                if live_idx <= skip:
+                    continue
+                yield self._make_group(store, rows, cutoff,
+                                       as_codes=use_dev_cns)
+
+        with open(preads_fn + ".tmp", out_mode) as out_f:
+
+            def save_progress(k):
+                # k live groups of this run durable; marker carries the
+                # byte offset so a crashed tail can be truncated away
+                out_f.flush()
+                with open(prog_fn + ".tmp", "w") as pf:
+                    pf.write("%d %d" % (done_groups + k, out_f.tell()))
+                os.replace(prog_fn + ".tmp", prog_fn)
+
+            live = (g for g in groups(done_groups) if g is not None)
             if use_dev_cns:
                 from ..cns.device import run_consensus_device
                 LOG.info("phase0: device consensus engine (cns.device)")
-                emitted = run_consensus_device(live, ccfg, out)
+                emitted = run_consensus_device(
+                    live, ccfg, out_f, progress_cb=save_progress)
             else:
                 emitted = cns_runner.run_consensus(
                     ((sid, [(rid, seq) for rid, seq, _ in items])
-                     for sid, items in live), ccfg, out, n_core=n_core)
+                     for sid, items in live), ccfg, out_f,
+                    n_core=n_core)
         os.rename(preads_fn + ".tmp", preads_fn)
+        if os.path.exists(prog_fn):
+            os.unlink(prog_fn)
         integrity.write_sidecar(preads_fn, rows=emitted)
         self.timings["phase0_consensus"] = time.time() - t_cns
         LOG.info("phase0: %d pread sequences -> %s", emitted, preads_fn)

@@ -227,3 +227,84 @@ overlap_filtering_setting = --max-diff 100 --max-cov 100 --min-cov 1
         b = (pr_dir / "2-asm-falcon" / art).read_bytes()
         assert a == b, "artifact %s differs between raw and preads runs" \
             % art
+
+
+@pytest.mark.slow
+def test_consensus_midphase_resume(tmp_path, monkeypatch):
+    """Kill the consensus phase after its first checkpointed chunk; the
+    driver must resume mid-phase: skip the finished groups, truncate the
+    unmarked tail, and complete the assembly with no duplicate or
+    garbage preads (round-4: the remote-TPU client can wedge
+    mid-consensus on multi-hour runs)."""
+    os.chdir(tmp_path)
+    G = 25000
+    genome = sim.random_genome(G, seed=7)
+    reads = sim.simulate_reads(genome, coverage=20, mean_len=5000,
+                               min_len=1500, error=0.04, seed=3)
+    fasta.write_fasta("raw_reads.fa", reads, width=80)
+    with open("input.fofn", "w") as f:
+        f.write("raw_reads.fa\n")
+    write_cfg("fc_run.cfg", G)
+    monkeypatch.setenv("FTPU_USE_PALLAS", "0")
+
+    import falcon_tpu.cns.device as devmod
+    real = devmod.run_consensus_device
+
+    class Boom(RuntimeError):
+        pass
+
+    def dying(groups, cfg, out, dev=None, progress_cb=None):
+        calls = []
+
+        def cb(k):
+            # record ONE durable checkpoint, then fail every subsequent
+            # chunk (the finisher may already have written later chunks'
+            # records before noticing -- exactly the unmarked-tail shape
+            # a process death leaves)
+            if not calls:
+                progress_cb(k)
+                calls.append(k)
+            raise Boom()
+        d = devmod.DeviceCns(chunk_tasks=24, use_pallas=False)
+        return real(groups, cfg, out, dev=d, progress_cb=cb)
+
+    part = tmp_path / "part"
+    part.mkdir()
+    monkeypatch.setattr(devmod, "run_consensus_device", dying)
+    with pytest.raises(Boom):
+        Pipeline("fc_run.cfg", str(part), use_device=True).run()
+    tmp = part / "0-rawreads" / "preads.fasta.tmp"
+    prog = part / "0-rawreads" / "preads.fasta.progress"
+    assert tmp.exists() and prog.exists()
+    k_done, good_bytes = map(int, prog.read_text().split())
+    assert k_done > 0 and good_bytes > 0
+    # simulate a torn record written as the process died
+    with open(tmp, "ab") as f:
+        f.write(b">partial_garbage\nACG")
+
+    def resuming(groups, cfg, out, dev=None, progress_cb=None):
+        # count groups offered on resume: must be original - k_done
+        seen = []
+
+        def counting():
+            for g in groups:
+                seen.append(g[0])
+                yield g
+        d = devmod.DeviceCns(chunk_tasks=24, use_pallas=False)
+        n = real(counting(), cfg, out, dev=d, progress_cb=progress_cb)
+        resuming.seen = seen
+        return n
+
+    monkeypatch.setattr(devmod, "run_consensus_device", resuming)
+    p_ctg = Pipeline("fc_run.cfg", str(part), use_device=True).run()
+    got = (part / "0-rawreads" / "preads.fasta").read_bytes()
+    assert b"partial_garbage" not in got, "crash tail not truncated"
+    # no duplicate pread records (each seed emitted at most once per
+    # prolog group)
+    names = [l for l in got.split(b"\n") if l.startswith(b">")]
+    assert len(names) == len(set(names)), "duplicate preads after resume"
+    # the resumed pass skipped the finished prefix
+    assert len(resuming.seen) > 0
+    # and the assembly completed with a real contig
+    ctgs = list(fasta.read_fasta(p_ctg))
+    assert ctgs and max(len(c.sequence) for c in ctgs) > 0.5 * G
