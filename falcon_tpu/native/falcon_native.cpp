@@ -19,6 +19,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <climits>
+#include <cstdio>
+#include <ctime>
 #include <string>
 #include <tuple>
 #include <unordered_map>
@@ -753,12 +755,16 @@ long ftpu_seed_hits_idx_impl(const uint8_t* q_codes,
 }
 
 // LSD radix sort, 11-bit digits.  ~3-4x std::sort on the 10^8-element
-// k-mer tables of a 200MB block pair.
-static void radix_sort_u64(vector<uint64_t>& v, int bits) {
+// k-mer tables of a 200MB block pair.  Only bits [lo_bit, hi_bit) are
+// sorted: the packed k-mer tables carry the key in the top bits and the
+// flat position as payload below, and every downstream reduction over an
+// equal-key run (hit count, min-packed anchor) is order-invariant, so
+// the 34 position bits never need sorting -- 3 passes instead of 6.
+static void radix_sort_u64(vector<uint64_t>& v, int lo_bit, int hi_bit) {
   const int DIG = 11, NB = 1 << DIG;
   vector<uint64_t> tmp(v.size());
   size_t cnt[NB + 1];
-  for (int shift = 0; shift < bits; shift += DIG) {
+  for (int shift = lo_bit; shift < hi_bit; shift += DIG) {
     memset(cnt, 0, sizeof(cnt));
     for (uint64_t x : v) ++cnt[((x >> shift) & (NB - 1)) + 1];
     for (int b = 0; b < NB; ++b) cnt[b + 1] += cnt[b];
@@ -798,21 +804,31 @@ static void radix_sort_kv(vector<Kv>& v, int bits) {
 // filter_mode: 0 = none, 1 = keep rids_a[a] < rids_b[b], 2 = keep !=.
 // Returns n candidates; out6 = six int32 arrays (a, b, strand is the
 // caller's, qpos, tpos, n_seeds) -- caller frees with ftpu_free_i32.
-long ftpu_seed_chain_impl(const uint8_t* q_codes, const int64_t* q_offsets,
-                          long n_q, const uint8_t* t_codes,
-                          const int64_t* t_offsets, long n_t, int K,
-                          int stride, int max_freq, int bin_size,
-                          int min_hits, int filter_mode, int topk,
-                          const int64_t* rids_a, const int64_t* rids_b,
-                          int32_t** out5) {
+// Pack + key-sort one side's k-mer table (packed = key << 34 | flat_pos).
+// The sorted table is reusable across every pair that side participates
+// in: the driver caches B-side tables per (block, strand) and A-side
+// tables per block, so each block's pack+sort runs once per phase
+// instead of once per (pair, strand).
+long ftpu_kmer_table_impl(const uint8_t* codes, const int64_t* offsets,
+                          long n_reads, int K, int stride, uint64_t** out) {
+  const int SHIFT = 34;
+  vector<uint64_t> v;
+  pack_kmers(codes, offsets, n_reads, K, stride, v);
+  radix_sort_u64(v, SHIFT, SHIFT + 2 * K);
+  const long n = (long)v.size();
+  *out = (uint64_t*)malloc(sizeof(uint64_t) * (n ? n : 1));
+  memcpy(*out, v.data(), sizeof(uint64_t) * n);
+  return n;
+}
+
+long ftpu_seed_chain_tables_impl(
+    const uint64_t* qarr_p, long nq_e, const uint64_t* table_p, long nt_e,
+    const int64_t* q_offsets, long n_q, const int64_t* t_offsets, long n_t,
+    int max_freq, int bin_size, int min_hits, int filter_mode, int topk,
+    const int64_t* rids_a, const int64_t* rids_b,
+    const int32_t* q_pos2read, const int32_t* t_pos2read, int32_t** out5) {
   const int SHIFT = 34;
   const uint64_t POS_MASK = (1ULL << SHIFT) - 1;
-
-  vector<uint64_t> table, qarr;
-  pack_kmers(t_codes, t_offsets, n_t, K, 1, table);
-  pack_kmers(q_codes, q_offsets, n_q, K, stride, qarr);
-  radix_sort_u64(table, 2 * K + SHIFT);
-  radix_sort_u64(qarr, 2 * K + SHIFT);
 
   // bin layout: diag in [-max_len, max_len]
   int64_t max_len = 1;
@@ -822,10 +838,17 @@ long ftpu_seed_chain_impl(const uint8_t* q_codes, const int64_t* q_offsets,
     max_len = std::max(max_len, t_offsets[r + 1] - t_offsets[r]);
   const int64_t bin_base = max_len / bin_size + 2;
   const uint64_t nbins = 2 * bin_base + 3;
+  int bin_shift = -1;   // >= 0 when bin_size == 1 << bin_shift
+  for (int s = 0; s < 31; ++s)
+    if ((1 << s) == bin_size) { bin_shift = s; break; }
 
   vector<Kv> hits;
   hits.reserve(1 << 20);
-  const size_t nq = qarr.size(), nt = table.size();
+  const size_t nq = (size_t)nq_e, nt = (size_t)nt_e;
+  const uint64_t* qarr = qarr_p;
+  const uint64_t* table = table_p;
+  struct timespec tm0, tm1;
+  if (getenv("FTPU_CHAIN_PROF")) clock_gettime(CLOCK_MONOTONIC, &tm0);
   size_t i = 0, j = 0;
   long q_hint = 0, t_hint = 0;
   while (i < nq && j < nt) {
@@ -840,21 +863,31 @@ long ftpu_seed_chain_impl(const uint8_t* q_codes, const int64_t* q_offsets,
     if ((long)(je - j) <= max_freq) {
       for (size_t a = i; a < ie; ++a) {
         const int64_t qflat = (int64_t)(qarr[a] & POS_MASK);
-        q_hint = read_of(q_offsets, n_q, qflat, q_hint);
+        // positions within an equal-key run are random across the
+        // block, so the hint-based binary search costs ~20 dependent
+        // accesses per hit; the flat pos->read tables (built once per
+        // block, cached with the k-mer tables) make it one.
+        q_hint = q_pos2read ? q_pos2read[qflat]
+                            : read_of(q_offsets, n_q, qflat, q_hint);
         const int64_t q_loc = qflat - q_offsets[q_hint];
         const int64_t a_rid = rids_a[q_hint];
         for (size_t b = j; b < je; ++b) {
           const int64_t tflat = (int64_t)(table[b] & POS_MASK);
-          t_hint = read_of(t_offsets, n_t, tflat, t_hint);
+          t_hint = t_pos2read ? t_pos2read[tflat]
+                              : read_of(t_offsets, n_t, tflat, t_hint);
           const int64_t b_rid = rids_b[t_hint];
           if (filter_mode == 1 ? !(a_rid < b_rid)
                                : (filter_mode == 2 && a_rid == b_rid))
             continue;
           const int64_t t_loc = tflat - t_offsets[t_hint];
           const int64_t diag = q_loc - t_loc;
-          // floor division (match python //)
-          const int64_t bin = diag >= 0 ? diag / bin_size
-                                        : -((-diag + bin_size - 1) / bin_size);
+          // floor division (match python //); arithmetic shift when
+          // bin_size is a power of two (the default 256) -- the two
+          // integer divides are real per-hit cost at 10^8 hits/pair
+          const int64_t bin =
+              bin_shift >= 0 ? (diag >> bin_shift)
+                             : (diag >= 0 ? diag / bin_size
+                                : -((-diag + bin_size - 1) / bin_size));
           const uint64_t pair = (uint64_t)q_hint * (uint64_t)n_t
                                 + (uint64_t)t_hint;
           hits.push_back({pair * nbins + (uint64_t)(bin + bin_base),
@@ -871,7 +904,19 @@ long ftpu_seed_chain_impl(const uint8_t* q_codes, const int64_t* q_offsets,
     uint64_t mx = (uint64_t)n_q * (uint64_t)n_t * nbins + nbins;
     while ((1ULL << key_bits) < mx && key_bits < 63) ++key_bits;
   }
+  struct timespec tj0, tj1;
+  const bool prof = getenv("FTPU_CHAIN_PROF") != nullptr;
+  if (prof) clock_gettime(CLOCK_MONOTONIC, &tj0);
   radix_sort_kv(hits, key_bits);
+  if (prof) {
+    clock_gettime(CLOCK_MONOTONIC, &tj1);
+    fprintf(stderr, "[chain] %zu hits: join %.2fs, sort(%d bits) %.2fs\n",
+            hits.size(),
+            (tj0.tv_sec - tm0.tv_sec) + 1e-9 * (tj0.tv_nsec - tm0.tv_nsec),
+            key_bits,
+            (tj1.tv_sec - tj0.tv_sec) + 1e-9 * (tj1.tv_nsec - tj0.tv_nsec));
+    tm1 = tj1;
+  }
 
   // scan runs -> per-pair best window -> candidates
   vector<int32_t> oa, ob, oq, ot, oc;
@@ -940,6 +985,13 @@ long ftpu_seed_chain_impl(const uint8_t* q_codes, const int64_t* q_offsets,
       oc.push_back(std::get<2>(pc));
     }
   }
+  if (getenv("FTPU_CHAIN_PROF")) {
+    struct timespec te;
+    clock_gettime(CLOCK_MONOTONIC, &te);
+    fprintf(stderr, "[chain] scan %.2fs, %zu cands\n",
+            (te.tv_sec - tm1.tv_sec) + 1e-9 * (te.tv_nsec - tm1.tv_nsec),
+            oa.size());
+  }
   const long n = (long)oa.size();
   const size_t sz = sizeof(int32_t) * (n ? n : 1);
   for (int c = 0; c < 5; ++c) out5[c] = (int32_t*)malloc(sz);
@@ -949,6 +1001,25 @@ long ftpu_seed_chain_impl(const uint8_t* q_codes, const int64_t* q_offsets,
   memcpy(out5[3], ot.data(), sizeof(int32_t) * n);
   memcpy(out5[4], oc.data(), sizeof(int32_t) * n);
   return n;
+}
+
+long ftpu_seed_chain_impl(const uint8_t* q_codes, const int64_t* q_offsets,
+                          long n_q, const uint8_t* t_codes,
+                          const int64_t* t_offsets, long n_t, int K,
+                          int stride, int max_freq, int bin_size,
+                          int min_hits, int filter_mode, int topk,
+                          const int64_t* rids_a, const int64_t* rids_b,
+                          int32_t** out5) {
+  const int SHIFT = 34;
+  vector<uint64_t> table, qarr;
+  pack_kmers(t_codes, t_offsets, n_t, K, 1, table);
+  pack_kmers(q_codes, q_offsets, n_q, K, stride, qarr);
+  radix_sort_u64(table, SHIFT, SHIFT + 2 * K);
+  radix_sort_u64(qarr, SHIFT, SHIFT + 2 * K);
+  return ftpu_seed_chain_tables_impl(
+      qarr.data(), (long)qarr.size(), table.data(), (long)table.size(),
+      q_offsets, n_q, t_offsets, n_t, max_freq, bin_size, min_hits,
+      filter_mode, topk, rids_a, rids_b, nullptr, nullptr, out5);
 }
 
 // Batch gapped-alignment reconstruction from the device traceback
@@ -1019,6 +1090,25 @@ long ftpu_seed_chain(const uint8_t* q_codes, const int64_t* q_offsets,
                               min_hits, filter_mode, topk, rids_a, rids_b,
                               out5);
 }
+
+long ftpu_kmer_table(const uint8_t* codes, const int64_t* offsets,
+                     long n_reads, int K, int stride, uint64_t** out) {
+  return ftpu_kmer_table_impl(codes, offsets, n_reads, K, stride, out);
+}
+
+long ftpu_seed_chain_tables(
+    const uint64_t* qarr, long nq_e, const uint64_t* table, long nt_e,
+    const int64_t* q_offsets, long n_q, const int64_t* t_offsets, long n_t,
+    int max_freq, int bin_size, int min_hits, int filter_mode, int topk,
+    const int64_t* rids_a, const int64_t* rids_b,
+    const int32_t* q_pos2read, const int32_t* t_pos2read, int32_t** out5) {
+  return ftpu_seed_chain_tables_impl(
+      qarr, nq_e, table, nt_e, q_offsets, n_q, t_offsets, n_t, max_freq,
+      bin_size, min_hits, filter_mode, topk, rids_a, rids_b,
+      q_pos2read, t_pos2read, out5);
+}
+
+void ftpu_free_u64(uint64_t* p) { free(p); }
 
 long ftpu_seed_hits_idx(const uint8_t* q_codes, const int64_t* q_offsets,
                         long n_q, const uint8_t* t_codes,

@@ -56,6 +56,12 @@ D_DEFAULT = 14   # delta capacity (max insertion offset + 1)
 NPC0 = 16        # delta-0 pred classes: 3 delta classes x 5 bases + start
 NPCD = 6         # delta-d pred classes: 5 bases + start
 NOEMIT = 15
+# scan/backtrack step bodies are tiny ([G, D*5]-sized ops); unrolling
+# amortizes the per-step loop overhead of the T-long lax.scans (the
+# residual DP-vs-hostmsa gap named in BASELINE.md round-4 notes).
+# Math-identical at any value; env-tunable for profiling.
+import os as _os
+_SCAN_UNROLL = int(_os.environ.get("FTPU_CNS_UNROLL", "4"))
 
 
 def l0_size(G, T):
@@ -463,7 +469,7 @@ def consensus_scan(msa, G, T, D):
             jnp.zeros((G,), jnp.int32), jnp.zeros((G,), jnp.int32),
             jnp.zeros((G,), jnp.int32), jnp.int32(0))
     (S_last, gb_s, gb_t, gb_d, gb_b, _), bp = jax.lax.scan(
-        step, init, (L0t, Ldt, covt))
+        step, init, (L0t, Ldt, covt), unroll=_SCAN_UNROLL)
     return bp, cov, gb_s, gb_t, gb_d, gb_b
 
 
@@ -517,7 +523,7 @@ def backtrack(bp, cov, gb_s, gb_t, gb_d, gb_b, min_cov, G, T, D):
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
     _, emit = jax.lax.scan(step, init,
                            (jnp.flip(bp, axis=0), jnp.flip(covt, axis=0),
-                            ts))
+                            ts), unroll=_SCAN_UNROLL)
     return emit     # [T, G, D] uint8
 
 

@@ -80,6 +80,19 @@ def _build_and_load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p)]
     lib.ftpu_seed_chain.restype = ctypes.c_long
+    lib.ftpu_kmer_table.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_void_p)]
+    lib.ftpu_kmer_table.restype = ctypes.c_long
+    lib.ftpu_seed_chain_tables.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_void_p)]
+    lib.ftpu_seed_chain_tables.restype = ctypes.c_long
+    lib.ftpu_free_u64.argtypes = [ctypes.c_void_p]
     lib.ftpu_dust_mask.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_void_p]
@@ -313,6 +326,97 @@ def seed_chain(q_codes, q_offsets, t_codes, t_offsets, K, stride,
         t_codes.ctypes.data, t_offsets.ctypes.data, len(t_offsets) - 1,
         K, stride, max_freq, bin_size, min_hits, filter_mode, topk,
         rids_a.ctypes.data, rids_b.ctypes.data, out5)
+    try:
+        arrs = [np.ctypeslib.as_array(
+            ctypes.cast(out5[c], ctypes.POINTER(ctypes.c_int32)),
+            shape=(max(n, 1),))[:n].copy() for c in range(5)]
+    finally:
+        for c in range(5):
+            lib.ftpu_free_i32(out5[c])
+    return tuple(arrs)
+
+
+class KmerTable:
+    """Owner of a native-malloc'd sorted k-mer table (packed
+    key<<34|flat_pos uint64 entries).  Exposes a zero-copy numpy view
+    (`arr`); the buffer is freed when the object is collected.  Built
+    once per (block, strand) and reused across every pair the block
+    participates in (the pack+radix-sort is the dominant per-pair host
+    cost at Dmel scale)."""
+
+    def __init__(self, ptr, n):
+        import numpy as np
+        self._ptr = ptr
+        self.n = n
+        # captured now: module globals may already be cleared when
+        # __del__ runs at interpreter shutdown
+        self._free = get_lib().ftpu_free_u64
+        self.arr = np.ctypeslib.as_array(
+            ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint64)),
+            shape=(max(n, 1),))[:n]
+
+    def __del__(self):
+        ptr, self._ptr = getattr(self, "_ptr", None), None
+        if ptr:
+            try:
+                self._free(ptr)
+            except TypeError:   # interpreter teardown
+                pass
+
+    @property
+    def nbytes(self):
+        return 8 * self.n
+
+
+def kmer_table(codes, offsets, K, stride):
+    """Pack + key-sort one side's k-mer table; returns a KmerTable."""
+    import numpy as np
+    lib = get_lib()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    out = ctypes.c_void_p()
+    n = lib.ftpu_kmer_table(codes.ctypes.data, offsets.ctypes.data,
+                            len(offsets) - 1, K, stride,
+                            ctypes.byref(out))
+    return KmerTable(out, n)
+
+
+def seed_chain_tables(qtab, ttab, q_offsets, t_offsets, max_freq,
+                      bin_size, min_hits, filter_mode, rids_a, rids_b,
+                      topk=3, q_pos2read=None, t_pos2read=None):
+    """seed_chain from prebuilt sorted KmerTables (join + chain only).
+
+    Exact same outputs as seed_chain on the tables' source arrays; the
+    pack+sort cost is paid once per block via kmer_table and amortized
+    across the block-pair triangle.  q_pos2read/t_pos2read: optional
+    int32 flat-position -> read-ordinal tables (one lookup per hit
+    instead of a binary search in the join's inner loop)."""
+    import numpy as np
+    lib = get_lib()
+    q_offsets = np.ascontiguousarray(q_offsets, dtype=np.int64)
+    t_offsets = np.ascontiguousarray(t_offsets, dtype=np.int64)
+    rids_a = np.ascontiguousarray(rids_a, dtype=np.int64)
+    rids_b = np.ascontiguousarray(rids_b, dtype=np.int64)
+    max_len = max(int(np.diff(q_offsets).max(initial=0)),
+                  int(np.diff(t_offsets).max(initial=0)))
+    if max_len >= (1 << 21):
+        raise ValueError("seed_chain: read length %d exceeds the 2^21 "
+                         "position packing" % max_len)
+    qp2r = tp2r = None
+    if q_pos2read is not None:
+        qp2r = np.ascontiguousarray(q_pos2read, dtype=np.int32)
+    if t_pos2read is not None:
+        tp2r = np.ascontiguousarray(t_pos2read, dtype=np.int32)
+    out5 = (ctypes.c_void_p * 5)()
+    n = lib.ftpu_seed_chain_tables(
+        qtab.arr.ctypes.data if qtab.n else None, qtab.n,
+        ttab.arr.ctypes.data if ttab.n else None, ttab.n,
+        q_offsets.ctypes.data, len(q_offsets) - 1,
+        t_offsets.ctypes.data, len(t_offsets) - 1,
+        max_freq, bin_size, min_hits, filter_mode, topk,
+        rids_a.ctypes.data, rids_b.ctypes.data,
+        qp2r.ctypes.data if qp2r is not None else None,
+        tp2r.ctypes.data if tp2r is not None else None, out5)
     try:
         arrs = [np.ctypeslib.as_array(
             ctypes.cast(out5[c], ctypes.POINTER(ctypes.c_int32)),

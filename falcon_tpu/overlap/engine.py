@@ -82,6 +82,43 @@ def _kmer_keys_flat(codes, K):
     return acc, ok
 
 
+class AView:
+    """Flattened seeding view of an A-side block: masked codes + offsets
+    + a lazy native k-mer table at the engine stride.
+
+    Built once per block and cached across the block-pair triangle by the
+    driver (pipeline.driver._overlap_store): the A-side pack+radix-sort
+    used to run once per (pair, strand) -- 2x per pair -- and is the
+    second-largest host cost at Dmel scale after the B-side tables."""
+
+    def __init__(self, store, rids, params):
+        self.rids = np.asarray(rids, dtype=np.int64)
+        self.params = params
+        lens = store.lengths[self.rids].astype(np.int64)
+        self.lens = lens
+        self.offsets = np.zeros(len(self.rids) + 1, dtype=np.int64)
+        np.cumsum(lens, out=self.offsets[1:])
+        self.seed = np.empty(int(self.offsets[-1]), dtype=np.uint8)
+        has_mask = getattr(store, "mask", None) is not None
+        for i, rid in enumerate(self.rids):
+            c = store.get_codes(rid)
+            o = self.offsets[i]
+            self.seed[o:o + len(c)] = c
+            if has_mask:
+                m = store.get_mask(rid)
+                self.seed[o:o + len(m)][m] = 255
+        self._qtab = None
+
+    def native_table(self):
+        """Sorted (key<<34|pos) table of this view at params.stride."""
+        if self._qtab is None:
+            from ..ops import native
+            self._qtab = native.kmer_table(self.seed, self.offsets,
+                                           self.params.k,
+                                           self.params.stride)
+        return self._qtab
+
+
 class BlockIndex:
     """Sorted k-mer index over one read block, both orientations.
 
@@ -90,6 +127,21 @@ class BlockIndex:
     """
 
     def __init__(self, store, rids, params, build_tables=True):
+        self._ntabs = {}
+        self._init(store, rids, params, build_tables)
+
+    def native_table(self, strand):
+        """Sorted native k-mer table (stride 1) for one orientation,
+        built lazily and cached -- reused across every A block this
+        block is compared against."""
+        if strand not in self._ntabs:
+            from ..ops import native
+            seed = self.seed_fwd if strand == 0 else self.seed_rev
+            self._ntabs[strand] = native.kmer_table(
+                seed, self.offsets, self.params.k, 1)
+        return self._ntabs[strand]
+
+    def _init(self, store, rids, params, build_tables=True):
         self.store = store
         self.rids = np.asarray(rids, dtype=np.int64)
         self.params = params
@@ -304,13 +356,17 @@ def _chain_candidates(qpos, tpos, a_read, b_read, strand, params):
 
 
 def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
-                   same_block=None):
+                   same_block=None, index=None, a_view=None):
     """Overlap all reads of block A against block B.
 
     Returns a columnar overlap table (overlap.table structured array):
     one row per (a, b, strand) candidate that aligns, A-side only (call
     emit_symmetric for the mirror records).
     same_block: skip a>=b self/dup pairs (defaults to rids_a is rids_b).
+    index / a_view: prebuilt BlockIndex over rids_b / AView over rids_a
+    -- the driver caches these across the block-pair triangle so each
+    block's k-mer tables are packed+sorted once per phase, not once per
+    (pair, strand).
     """
     params = params or OverlapParams()
     if same_block is None:
@@ -322,45 +378,43 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
     _t0 = _time.time()
     from ..ops import native
     use_native = native.available()
-    index = BlockIndex(store, rids_b, params, build_tables=not use_native)
+    if index is None:
+        index = BlockIndex(store, rids_b, params,
+                           build_tables=not use_native)
     K = params.k
+    rids_a = np.asarray(rids_a, dtype=np.int64)
+    if a_view is None:
+        a_view = AView(store, rids_a, params)
+    a_offsets = a_view.offsets
+    a_seed = a_view.seed
     _t_index = _time.time() - _t0
 
-    # all A reads flattened and matched in one sorted join
-    rids_a = np.asarray(rids_a, dtype=np.int64)
-    a_lens = store.lengths[rids_a].astype(np.int64)
-    a_offsets = np.zeros(len(rids_a) + 1, dtype=np.int64)
-    np.cumsum(a_lens, out=a_offsets[1:])
-    a_flat = np.empty(int(a_offsets[-1]), dtype=np.uint8)
-    for i, rid in enumerate(rids_a):
-        c = store.get_codes(rid)
-        a_flat[a_offsets[i]:a_offsets[i] + len(c)] = c
-    # seeding view of the A side (soft-mask tracks gate seeds only)
-    if getattr(store, "mask", None) is not None:
-        a_seed = a_flat.copy()
-        for i, rid in enumerate(rids_a):
-            m = store.get_mask(rid)
-            a_seed[a_offsets[i]:a_offsets[i] + len(m)][m] = 255
-    else:
-        a_seed = a_flat
-
     if use_native:
-        # fused C++ join+chain per strand (radix sorts, no hit arrays
-        # cross into python -- ~10^8 hits collapse to ~10^5 candidates);
-        # the two strands run in parallel threads (GIL released)
+        # fused C++ join+chain per strand from prebuilt sorted k-mer
+        # tables (radix sorts once per block side, cached on the
+        # index/a_view; no hit arrays cross into python -- ~10^8 hits
+        # collapse to ~10^5 candidates); table builds and the two
+        # strand joins each run in parallel threads (GIL released)
         from concurrent.futures import ThreadPoolExecutor
         fmode = 1 if same_block else 2
         with ThreadPoolExecutor(2) as tpe:
-            f0 = tpe.submit(native.seed_chain, a_seed, a_offsets,
-                            index.seed_fwd, index.offsets, K,
-                            params.stride, params.max_kmer_freq,
-                            params.bin_size, params.min_hits, fmode,
-                            rids_a, index.rids, params.topk)
-            f1 = tpe.submit(native.seed_chain, a_seed, a_offsets,
-                            index.seed_rev, index.offsets, K,
-                            params.stride, params.max_kmer_freq,
-                            params.bin_size, params.min_hits, fmode,
-                            rids_a, index.rids, params.topk)
+            ft0 = tpe.submit(index.native_table, 0)
+            ft1 = tpe.submit(index.native_table, 1)
+            qtab = a_view.native_table()
+            t0tab = ft0.result()
+            t1tab = ft1.result()
+        _t_index = _time.time() - _t0
+        with ThreadPoolExecutor(2) as tpe:
+            f0 = tpe.submit(native.seed_chain_tables, qtab, t0tab,
+                            a_offsets, index.offsets,
+                            params.max_kmer_freq, params.bin_size,
+                            params.min_hits, fmode, rids_a, index.rids,
+                            params.topk)
+            f1 = tpe.submit(native.seed_chain_tables, qtab, t1tab,
+                            a_offsets, index.offsets,
+                            params.max_kmer_freq, params.bin_size,
+                            params.min_hits, fmode, rids_a, index.rids,
+                            params.topk)
             c0 = f0.result()
             c1 = f1.result()
         # merge the per-strand candidate lists to (a, b, strand) order

@@ -23,6 +23,7 @@ from ..graph import to_contig, unitigs
 from ..graph.collect_gfa import collect_contig_gfa, collect_pread_gfa
 from ..graph.gfa import deserialize_gfa
 from ..io import fasta, integrity, readstore
+from ..ops import native as native_ops
 from ..overlap import engine, filter as ofilter, records
 from ..overlap import table as otable
 from . import stats as stats_mod
@@ -111,16 +112,40 @@ class Pipeline:
         host_id, n_hosts = distributed.init_distributed()
         pairs = distributed.host_block_pairs(len(blocks), host_id, n_hosts)
         n_pairs = len(blocks) * (len(blocks) + 1) // 2
+        # Group this host's stripe by B block: the B-side k-mer tables
+        # (the dominant per-pair host cost at Dmel scale -- pack + radix
+        # sort of every position, both strands) are built once per block
+        # and reused across all its pairs.  A-side views are smaller
+        # (stride-4 tables) and kept in a small LRU.  Output is
+        # order-independent: chunks are canonically re-sorted in
+        # emit_symmetric.
+        pairs = sorted(pairs, key=lambda ij: (ij[1], ij[0]))
+        cur_j, cur_index = -1, None
+        aviews = {}                       # i -> engine.AView (LRU)
+        AVIEW_LRU = 4
         for k, (i, j) in enumerate(pairs):
             t0 = time.time()
+            if j != cur_j:
+                cur_index = engine.BlockIndex(
+                    store, blocks[j], params,
+                    build_tables=not native_ops.available())
+                cur_j = j
+            if i not in aviews:
+                if len(aviews) >= AVIEW_LRU:
+                    aviews.pop(next(iter(aviews)))
+                aviews[i] = engine.AView(store, blocks[i], params)
+            else:
+                aviews[i] = aviews.pop(i)     # refresh LRU order
             # the (j, i) comparison is implied by symmetry
             ovls = engine.overlap_blocks(
                 store, blocks[i], blocks[j], params, aligner=aligner,
-                same_block=(i == j))
+                same_block=(i == j), index=cur_index, a_view=aviews[i])
             chunks.append(ovls)
             LOG.info("%s: block (%d,%d) %d/%d of %d: %d overlaps in %.1fs",
                      tag, i, j, k + 1, len(pairs), n_pairs, len(ovls),
                      time.time() - t0)
+        cur_index = None
+        aviews.clear()
         tbl = otable.concat(chunks)
         occ = getattr(aligner, "ext", None) and aligner.ext.occupancy()
         if occ:
