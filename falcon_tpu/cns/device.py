@@ -167,16 +167,27 @@ class DeviceCns:
         self.use_pallas = use_pallas
         # device MSA+DP path (ops.cns_dp): tags, scoring and backtrack all
         # on chip; the host only decodes the final emission planes.
-        # Default OFF: it measured ~4x slower than the host-C++-MSA
-        # hybrid at steady state on the tunneled v5e.  NOT because of the
-        # scatter-add (89ms/batch at production shapes -- the round-3
-        # addendum in BASELINE.md disproved the earlier ~1us/update
-        # attribution); the residual gap is per-shape XLA compile
-        # amortization across the (B, S, T, G) combos plus the
-        # tiny-op scan/backtrack.  Opt in with FTPU_CNS_DP=1 (it remains
-        # the multi-chip scaling path, tests/test_cns_dp.py).
+        # Round-4 measured it at 5.86M support-bases/s vs the host-MSA
+        # hybrid's 7.78M on the tunneled v5e (0.75x; BASELINE.md round-4
+        # table -- the gather-free tag decode closed most of the round-3
+        # 4x gap).  Default OFF on single-host runs because the hybrid is
+        # still faster there; it is the multi-chip scaling path (the
+        # host-MSA stage cannot shard) and the default under multi-
+        # process distribution, where per-host host-MSA would serialize
+        # on the gather host.  Opt in/out with FTPU_CNS_DP.  (The
+        # criterion is process_count, not device_count: the test env
+        # fakes 8 CPU devices in one process and must keep the single-
+        # host default.)
         if use_dp is None:
-            use_dp = os.environ.get("FTPU_CNS_DP", "0") == "1"
+            env = os.environ.get("FTPU_CNS_DP", "")
+            if env:
+                use_dp = env == "1"
+            else:
+                try:
+                    import jax
+                    use_dp = jax.process_count() > 1
+                except Exception:
+                    use_dp = False
         self.use_dp = use_dp
         # MXU one-hot-matmul accumulate variant (bit-identical, ~10x
         # slower than the scatter at production shapes); resolved once

@@ -179,6 +179,10 @@ bool ond_align(const uint8_t* q, int q_len, const uint8_t* t, int t_len,
 
 // ------------------------------------------------------------- k-mer table
 
+// diag >> bin_shift below relies on arithmetic right shift of negative
+// int64 (implementation-defined pre-C++20; guaranteed on gcc/clang)
+static_assert((-1 >> 1) == -1, "arithmetic right shift required");
+
 struct KmerIndex {
   int K;
   vector<int> starts;     // per key: offset into pos
@@ -816,7 +820,10 @@ long ftpu_kmer_table_impl(const uint8_t* codes, const int64_t* offsets,
   pack_kmers(codes, offsets, n_reads, K, stride, v);
   radix_sort_u64(v, SHIFT, SHIFT + 2 * K);
   const long n = (long)v.size();
+  // multi-GB on 400MB blocks: a failed malloc must surface as a Python
+  // MemoryError (negative sentinel), not a segfault in memcpy
   *out = (uint64_t*)malloc(sizeof(uint64_t) * (n ? n : 1));
+  if (!*out) return -1;
   memcpy(*out, v.data(), sizeof(uint64_t) * n);
   return n;
 }
@@ -825,8 +832,7 @@ long ftpu_seed_chain_tables_impl(
     const uint64_t* qarr_p, long nq_e, const uint64_t* table_p, long nt_e,
     const int64_t* q_offsets, long n_q, const int64_t* t_offsets, long n_t,
     int max_freq, int bin_size, int min_hits, int filter_mode, int topk,
-    const int64_t* rids_a, const int64_t* rids_b,
-    const int32_t* q_pos2read, const int32_t* t_pos2read, int32_t** out5) {
+    const int64_t* rids_a, const int64_t* rids_b, int32_t** out5) {
   const int SHIFT = 34;
   const uint64_t POS_MASK = (1ULL << SHIFT) - 1;
 
@@ -863,18 +869,16 @@ long ftpu_seed_chain_tables_impl(
     if ((long)(je - j) <= max_freq) {
       for (size_t a = i; a < ie; ++a) {
         const int64_t qflat = (int64_t)(qarr[a] & POS_MASK);
-        // positions within an equal-key run are random across the
-        // block, so the hint-based binary search costs ~20 dependent
-        // accesses per hit; the flat pos->read tables (built once per
-        // block, cached with the k-mer tables) make it one.
-        q_hint = q_pos2read ? q_pos2read[qflat]
-                            : read_of(q_offsets, n_q, qflat, q_hint);
+        // positions stay ascending within an equal-key run (the radix
+        // sort is stable on the top key bits only), so the hint-based
+        // read_of is O(1) amortized -- measured equal to a flat
+        // pos->read lookup table, which is why no such table exists.
+        q_hint = read_of(q_offsets, n_q, qflat, q_hint);
         const int64_t q_loc = qflat - q_offsets[q_hint];
         const int64_t a_rid = rids_a[q_hint];
         for (size_t b = j; b < je; ++b) {
           const int64_t tflat = (int64_t)(table[b] & POS_MASK);
-          t_hint = t_pos2read ? t_pos2read[tflat]
-                              : read_of(t_offsets, n_t, tflat, t_hint);
+          t_hint = read_of(t_offsets, n_t, tflat, t_hint);
           const int64_t b_rid = rids_b[t_hint];
           if (filter_mode == 1 ? !(a_rid < b_rid)
                                : (filter_mode == 2 && a_rid == b_rid))
@@ -1019,7 +1023,7 @@ long ftpu_seed_chain_impl(const uint8_t* q_codes, const int64_t* q_offsets,
   return ftpu_seed_chain_tables_impl(
       qarr.data(), (long)qarr.size(), table.data(), (long)table.size(),
       q_offsets, n_q, t_offsets, n_t, max_freq, bin_size, min_hits,
-      filter_mode, topk, rids_a, rids_b, nullptr, nullptr, out5);
+      filter_mode, topk, rids_a, rids_b, out5);
 }
 
 // Batch gapped-alignment reconstruction from the device traceback
@@ -1100,12 +1104,10 @@ long ftpu_seed_chain_tables(
     const uint64_t* qarr, long nq_e, const uint64_t* table, long nt_e,
     const int64_t* q_offsets, long n_q, const int64_t* t_offsets, long n_t,
     int max_freq, int bin_size, int min_hits, int filter_mode, int topk,
-    const int64_t* rids_a, const int64_t* rids_b,
-    const int32_t* q_pos2read, const int32_t* t_pos2read, int32_t** out5) {
+    const int64_t* rids_a, const int64_t* rids_b, int32_t** out5) {
   return ftpu_seed_chain_tables_impl(
       qarr, nq_e, table, nt_e, q_offsets, n_q, t_offsets, n_t, max_freq,
-      bin_size, min_hits, filter_mode, topk, rids_a, rids_b,
-      q_pos2read, t_pos2read, out5);
+      bin_size, min_hits, filter_mode, topk, rids_a, rids_b, out5);
 }
 
 void ftpu_free_u64(uint64_t* p) { free(p); }

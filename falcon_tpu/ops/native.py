@@ -89,7 +89,6 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_void_p)]
     lib.ftpu_seed_chain_tables.restype = ctypes.c_long
     lib.ftpu_free_u64.argtypes = [ctypes.c_void_p]
@@ -378,19 +377,19 @@ def kmer_table(codes, offsets, K, stride):
     n = lib.ftpu_kmer_table(codes.ctypes.data, offsets.ctypes.data,
                             len(offsets) - 1, K, stride,
                             ctypes.byref(out))
+    if n < 0:
+        raise MemoryError("ftpu_kmer_table: table allocation failed")
     return KmerTable(out, n)
 
 
 def seed_chain_tables(qtab, ttab, q_offsets, t_offsets, max_freq,
                       bin_size, min_hits, filter_mode, rids_a, rids_b,
-                      topk=3, q_pos2read=None, t_pos2read=None):
+                      topk=3):
     """seed_chain from prebuilt sorted KmerTables (join + chain only).
 
     Exact same outputs as seed_chain on the tables' source arrays; the
     pack+sort cost is paid once per block via kmer_table and amortized
-    across the block-pair triangle.  q_pos2read/t_pos2read: optional
-    int32 flat-position -> read-ordinal tables (one lookup per hit
-    instead of a binary search in the join's inner loop)."""
+    across the block-pair triangle."""
     import numpy as np
     lib = get_lib()
     q_offsets = np.ascontiguousarray(q_offsets, dtype=np.int64)
@@ -402,11 +401,6 @@ def seed_chain_tables(qtab, ttab, q_offsets, t_offsets, max_freq,
     if max_len >= (1 << 21):
         raise ValueError("seed_chain: read length %d exceeds the 2^21 "
                          "position packing" % max_len)
-    qp2r = tp2r = None
-    if q_pos2read is not None:
-        qp2r = np.ascontiguousarray(q_pos2read, dtype=np.int32)
-    if t_pos2read is not None:
-        tp2r = np.ascontiguousarray(t_pos2read, dtype=np.int32)
     out5 = (ctypes.c_void_p * 5)()
     n = lib.ftpu_seed_chain_tables(
         qtab.arr.ctypes.data if qtab.n else None, qtab.n,
@@ -414,9 +408,7 @@ def seed_chain_tables(qtab, ttab, q_offsets, t_offsets, max_freq,
         q_offsets.ctypes.data, len(q_offsets) - 1,
         t_offsets.ctypes.data, len(t_offsets) - 1,
         max_freq, bin_size, min_hits, filter_mode, topk,
-        rids_a.ctypes.data, rids_b.ctypes.data,
-        qp2r.ctypes.data if qp2r is not None else None,
-        tp2r.ctypes.data if tp2r is not None else None, out5)
+        rids_a.ctypes.data, rids_b.ctypes.data, out5)
     try:
         arrs = [np.ctypeslib.as_array(
             ctypes.cast(out5[c], ctypes.POINTER(ctypes.c_int32)),

@@ -26,6 +26,7 @@ from ..io import fasta, integrity, readstore
 from ..ops import native as native_ops
 from ..overlap import engine, filter as ofilter, records
 from ..overlap import table as otable
+from ..utils import system
 from . import stats as stats_mod
 
 LOG = logging.getLogger(__name__)
@@ -92,7 +93,7 @@ class Pipeline:
                 LOG.warning("device aligner unavailable (%s); using host", e)
         return None
 
-    def _overlap_store(self, store, params, tag):
+    def _overlap_store(self, store, params, tag, ckpt_dir=None):
         """All-vs-all overlap across the store's blocks; returns the
         symmetric columnar overlap table (the .las-merge equivalent,
         in RAM as ONE structured array -- see overlap.table).
@@ -120,12 +121,44 @@ class Pipeline:
         # order-independent: chunks are canonically re-sorted in
         # emit_symmetric.
         pairs = sorted(pairs, key=lambda ij: (ij[1], ij[0]))
+        # snake the A direction on alternate B stripes: with more than
+        # AVIEW_LRU A blocks per stripe, ascending order every stripe
+        # makes LRU evict exactly the entry needed next (ADVICE r4) --
+        # the snake re-meets the previous stripe's tail A blocks first
+        stripes = []
+        for pr in pairs:
+            if not stripes or pr[1] != stripes[-1][-1][1]:
+                stripes.append([])
+            stripes[-1].append(pr)
+        pairs = []
+        for si, stripe in enumerate(stripes):
+            pairs.extend(stripe if si % 2 == 0 else reversed(stripe))
+        # per-pair durable checkpoints (the reference's per-block .las
+        # files): a recycled/killed worker skips finished pairs on
+        # restart instead of redoing the 60+ minute triangle
+        pair_dir = os.path.join(ckpt_dir, tag + "_pairs") if ckpt_dir \
+            else None
+        if pair_dir:
+            os.makedirs(pair_dir, exist_ok=True)
         cur_j, cur_index = -1, None
         aviews = {}                       # i -> engine.AView (LRU)
         AVIEW_LRU = 4
         for k, (i, j) in enumerate(pairs):
             t0 = time.time()
+            pf = os.path.join(pair_dir, "p%04d_%04d.npy" % (i, j)) \
+                if pair_dir else None
+            if pf and os.path.exists(pf):
+                ovls = np.load(pf)
+                chunks.append(ovls)
+                LOG.info("%s: block (%d,%d) %d/%d: %d overlaps "
+                         "(checkpointed)", tag, i, j, k + 1, len(pairs),
+                         len(ovls))
+                continue
             if j != cur_j:
+                # free the old stripe's tables BEFORE building the new
+                # ones: two ~6.4GB strand tables alive at once doubled
+                # transient peak RSS at Dmel scale (ADVICE r4 medium)
+                cur_index = None
                 cur_index = engine.BlockIndex(
                     store, blocks[j], params,
                     build_tables=not native_ops.available())
@@ -144,6 +177,11 @@ class Pipeline:
             LOG.info("%s: block (%d,%d) %d/%d of %d: %d overlaps in %.1fs",
                      tag, i, j, k + 1, len(pairs), n_pairs, len(ovls),
                      time.time() - t0)
+            if pf:
+                np.save(pf + ".tmp.npy", ovls)
+                os.replace(pf + ".tmp.npy", pf)
+                system.touch_heartbeat(self.out_dir)
+                system.maybe_recycle(self.out_dir, tag + " overlap")
         cur_index = None
         aviews.clear()
         tbl = otable.concat(chunks)
@@ -156,6 +194,15 @@ class Pipeline:
             tbl = distributed.allgather_table(tbl)
         return engine.emit_symmetric(tbl)
 
+    @staticmethod
+    def _drop_pair_ckpts(ckpt_dir, tag):
+        """Per-pair checkpoints are subsumed by the phase's final table;
+        drop them once that table is durable."""
+        import shutil
+        d = os.path.join(ckpt_dir, tag + "_pairs")
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+
     # -- phase 0: raw reads -> preads --------------------------------------
     def phase0(self):
         preads_fn = os.path.join(self.dir0, "preads.fasta")
@@ -164,6 +211,7 @@ class Pipeline:
             return preads_fn
         t_start = time.time()
         p = self.p
+        system.touch_heartbeat(self.out_dir)
 
         store_fn = os.path.join(self.dir0, "raw_reads")
         if _resumable(store_fn + ".npz", "phase0 readstore"):
@@ -182,6 +230,7 @@ class Pipeline:
             store.split_blocks(int(p.raw_block_mb * 1e6))
             store.save(store_fn)
             integrity.write_sidecar(store_fn + ".npz", rows=len(store))
+            system.touch_heartbeat(self.out_dir)
         LOG.info("phase0: %d raw reads, %d bases, %d blocks",
                  len(store), store.total_bases, len(store.blocks))
 
@@ -203,11 +252,12 @@ class Pipeline:
             self.timings["phase0_overlap"] = 0.0
         else:
             recs = self._overlap_store(store, self._engine_params(0),
-                                       "phase0")
+                                       "phase0", ckpt_dir=self.dir0)
             self.timings["phase0_overlap"] = time.time() - t_start
             otable.write_table(ovl_fn + ".tmp", recs, terminator=True)
             os.rename(ovl_fn + ".tmp", ovl_fn)
             integrity.write_sidecar(ovl_fn, rows=len(recs))
+            self._drop_pair_ckpts(self.dir0, "phase0")
         if self.p.target == "overlapping":
             # reference: fc_run exits after stage-0 overlap for this
             # target (run1.py:401-402)
@@ -288,6 +338,9 @@ class Pipeline:
                 with open(prog_fn + ".tmp", "w") as pf:
                     pf.write("%d %d" % (done_groups + k, out_f.tell()))
                 os.replace(prog_fn + ".tmp", prog_fn)
+                system.touch_heartbeat(self.out_dir)
+                # marker durable: safe point to recycle a leaky worker
+                system.maybe_recycle(self.out_dir, "phase0 consensus")
 
             live = (g for g in groups(done_groups) if g is not None)
             if use_dev_cns:
@@ -370,6 +423,7 @@ class Pipeline:
             return ovl_fn
         t_start = time.time()
         p = self.p
+        system.touch_heartbeat(self.out_dir)
 
         paths = [preads_fn] if isinstance(preads_fn, str) else \
             list(preads_fn)
@@ -390,7 +444,8 @@ class Pipeline:
                                 for i in range(len(store))))
         integrity.write_sidecar(p4f, rows=len(store))
 
-        recs = self._overlap_store(store, self._engine_params(1), "phase1")
+        recs = self._overlap_store(store, self._engine_params(1), "phase1",
+                                   ckpt_dir=self.dir1)
         self.timings["phase1_overlap"] = time.time() - t_start
 
         with open(ovl_fn + ".tmp", "w") as f:
@@ -400,12 +455,14 @@ class Pipeline:
                 min_len=p.filt_min_len, bestn=p.filt_bestn)
         os.rename(ovl_fn + ".tmp", ovl_fn)
         integrity.write_sidecar(ovl_fn)
+        self._drop_pair_ckpts(self.dir1, "phase1")
         return ovl_fn
 
     # -- phase 2: assembly --------------------------------------------------
     def phase2(self, ovl_fn):
         d = self.dir2
         p = self.p
+        system.touch_heartbeat(self.out_dir)
         if not _done(os.path.join(d, "p_ctg.fa")):
             t0 = time.time()
             local_ovl = os.path.join(d, "preads.ovl")

@@ -63,3 +63,70 @@ def log_resources(label):
     """Log peak RSS at a phase milestone (reference: util/io.py:32-35
     system_resources logging called at ovlp_filter stage boundaries)."""
     LOG.info("[%s] maxrss: %.1f MB", label, maxrss_mb())
+
+
+# -- worker recycling ------------------------------------------------------
+# The remote-TPU client leaks host RSS (~100-240MB per consensus chunk,
+# round-4 100Mb run) and once wedged at ~75GB.  The reference never hits
+# this because every pypeflow task is a fresh process (pype_tasks.py task
+# dirs).  falcon_tpu gets the same hygiene from cooperative recycling:
+# long phases call maybe_recycle() right after a durable checkpoint; when
+# RSS exceeds FTPU_RSS_LIMIT_GB the process exits with RECYCLE_EXIT and
+# the supervisor (pipeline.supervise) restarts it, resuming from the
+# checkpoint.  os._exit is deliberate: all state that matters is already
+# on disk, and atexit/finally paths must NOT run (they would finalize
+# half-done phase outputs).
+
+RECYCLE_EXIT = 17
+
+
+def rss_gb():
+    """Current (not peak) RSS of this process in GB; 0.0 off-Linux."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * os.sysconf("SC_PAGE_SIZE") / float(1 << 30)
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+def rss_limit_gb():
+    """FTPU_RSS_LIMIT_GB as float, or None when recycling is disabled."""
+    v = os.environ.get("FTPU_RSS_LIMIT_GB", "")
+    try:
+        return float(v) if v else None
+    except ValueError:
+        return None
+
+
+def touch_heartbeat(out_dir):
+    """Progress heartbeat for the supervisor's stall detector: touched at
+    every durable checkpoint (overlap pair saved, consensus chunk
+    marked).  A child that stops beating is assumed wedged (the observed
+    failure mode: remote client spins in reconnect forever)."""
+    try:
+        with open(os.path.join(out_dir, ".heartbeat"), "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+
+
+def maybe_recycle(out_dir, where):
+    """Exit RECYCLE_EXIT if RSS is over FTPU_RSS_LIMIT_GB.  Call ONLY
+    immediately after a durable checkpoint; safe from any thread."""
+    limit = rss_limit_gb()
+    if limit is None:
+        return
+    cur = rss_gb()
+    if cur >= limit:
+        import sys
+        LOG.warning("%s: rss %.1fGB >= limit %.1fGB; recycling "
+                    "(exit %d; supervisor resumes from checkpoint)",
+                    where, cur, limit, RECYCLE_EXIT)
+        for h in logging.getLogger().handlers:
+            try:
+                h.flush()
+            except Exception:
+                pass
+        sys.stderr.flush()
+        os._exit(RECYCLE_EXIT)
