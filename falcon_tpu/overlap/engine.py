@@ -355,19 +355,15 @@ def _chain_candidates(qpos, tpos, a_read, b_read, strand, params):
     return out
 
 
-def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
-                   same_block=None, index=None, a_view=None):
-    """Overlap all reads of block A against block B.
-
-    Returns a columnar overlap table (overlap.table structured array):
-    one row per (a, b, strand) candidate that aligns, A-side only (call
-    emit_symmetric for the mirror records).
-    same_block: skip a>=b self/dup pairs (defaults to rids_a is rids_b).
-    index / a_view: prebuilt BlockIndex over rids_b / AView over rids_a
-    -- the driver caches these across the block-pair triangle so each
-    block's k-mer tables are packed+sorted once per phase, not once per
-    (pair, strand).
-    """
+def chain_blocks(store, rids_a, rids_b, params=None,
+                 same_block=None, index=None, a_view=None):
+    """Seeding + chaining of block A against block B: k-mer join over
+    the sorted tables + diagonal-bin chain, WITHOUT the extension stage.
+    Returns (cands, index, timings) where cands is the candidate tuple
+    list align_candidates consumes.  Split out of overlap_blocks so the
+    driver can pipeline the host chain of pair k+1 under the device
+    alignment of pair k (the two stages use disjoint resources: host
+    cores vs the chip)."""
     params = params or OverlapParams()
     if same_block is None:
         same_block = rids_a is rids_b or (
@@ -436,14 +432,7 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
                               int(c1[4][i1])))
                 i1 += 1
         _t_chain = _time.time() - _t0 - _t_index
-        if aligner is None:
-            aligner = extend_pairs_host
-        out = aligner(store, index, rids_a, cands, params)
-        LOG.info(
-            "overlap_blocks: %d cands; index %.1fs chain+merge %.1fs "
-            "align+emit %.1fs", len(cands), _t_index, _t_chain,
-            _time.time() - _t0 - _t_index - _t_chain)
-        return out
+        return cands, index, (_t_index, _t_chain)
     else:
         keys, ok = _kmer_keys_flat(a_seed, K)
         pos = np.arange(len(keys), dtype=np.int64)
@@ -454,13 +443,13 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
         qflat, tflat, strand = index.match(keys, ok)
         strand = strand.astype(np.int64)
         if len(qflat) == 0:
-            return T.empty(0)
+            return [], index, (_t_index, 0.0)
         a_idx = np.searchsorted(a_offsets, qflat, side="right") - 1
         qpos = qflat - a_offsets[a_idx]
         b_idx = np.searchsorted(index.offsets, tflat, side="right") - 1
         tpos = tflat - index.offsets[b_idx]
     if len(a_idx) == 0:
-        return T.empty(0)
+        return [], index, (_t_index, 0.0)
 
     # drop self-pairs / duplicate unordered pairs within one block
     if same_block:
@@ -473,11 +462,45 @@ def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
         a_idx, b_idx = a_idx[keep], b_idx[keep]
 
     cands = _chain_candidates(qpos, tpos, a_idx, b_idx, strand, params)
-    LOG.debug("overlap_blocks: %d candidate pairs", len(cands))
+    LOG.debug("chain_blocks: %d candidate pairs", len(cands))
+    return cands, index, (_time.time() - _t0 - _t_index, 0.0)
 
+
+def align_candidates(store, index, rids_a, cands, params, aligner=None):
+    """Extension + record emission for chain_blocks candidates."""
+    if not cands:
+        return T.empty(0)
     if aligner is None:
         aligner = extend_pairs_host
+    rids_a = np.asarray(rids_a, dtype=np.int64)
     return aligner(store, index, rids_a, cands, params)
+
+
+def overlap_blocks(store, rids_a, rids_b, params=None, aligner=None,
+                   same_block=None, index=None, a_view=None):
+    """Overlap all reads of block A against block B (chain + align).
+
+    Returns a columnar overlap table (overlap.table structured array):
+    one row per (a, b, strand) candidate that aligns, A-side only (call
+    emit_symmetric for the mirror records).
+    same_block: skip a>=b self/dup pairs (defaults to rids_a is rids_b).
+    index / a_view: prebuilt BlockIndex over rids_b / AView over rids_a
+    -- the driver caches these across the block-pair triangle so each
+    block's k-mer tables are packed+sorted once per phase, not once per
+    (pair, strand).
+    """
+    import time as _time
+    _t0 = _time.time()
+    cands, index, (t_index, t_chain) = chain_blocks(
+        store, rids_a, rids_b, params, same_block=same_block,
+        index=index, a_view=a_view)
+    out = align_candidates(store, index, rids_a, cands,
+                           params or OverlapParams(), aligner)
+    LOG.info(
+        "overlap_blocks: %d cands; index %.1fs chain+merge %.1fs "
+        "align+emit %.1fs", len(cands), t_index, t_chain,
+        _time.time() - _t0 - t_index - t_chain)
+    return out
 
 
 def _dedup_extents(a_id, b_id, strand, a_s, a_e, b_s, b_e, dist, tol=50):

@@ -140,29 +140,41 @@ class Pipeline:
             else None
         if pair_dir:
             os.makedirs(pair_dir, exist_ok=True)
-        cur_j, cur_index = -1, None
-        aviews = {}                       # i -> engine.AView (LRU)
-        AVIEW_LRU = 4
+        results = {}
+        todo = []
         for k, (i, j) in enumerate(pairs):
-            t0 = time.time()
             pf = os.path.join(pair_dir, "p%04d_%04d.npy" % (i, j)) \
                 if pair_dir else None
             if pf and os.path.exists(pf):
-                ovls = np.load(pf)
-                chunks.append(ovls)
+                results[k] = np.load(pf)
                 LOG.info("%s: block (%d,%d) %d/%d: %d overlaps "
                          "(checkpointed)", tag, i, j, k + 1, len(pairs),
-                         len(ovls))
-                continue
-            if j != cur_j:
-                # free the old stripe's tables BEFORE building the new
-                # ones: two ~6.4GB strand tables alive at once doubled
-                # transient peak RSS at Dmel scale (ADVICE r4 medium)
-                cur_index = None
-                cur_index = engine.BlockIndex(
+                         len(results[k]))
+            else:
+                todo.append((k, i, j, pf))
+
+        # chain/align software pipeline: the host seeding+chain of pair
+        # n+1 runs under the device alignment of pair n (disjoint
+        # resources: host cores vs the chip; at 100Mb scale each stage
+        # is minutes per heavy pair, so serializing them doubled phase-0
+        # wall).  prep_state is only touched from the single prepare
+        # thread (submissions are sequential).  Peak RSS now holds up to
+        # TWO BlockIndex table sets at a stripe boundary by design (the
+        # align stage pins the old index while the next stripe's
+        # builds); within a stripe the old index is dropped before the
+        # next is built.
+        from concurrent.futures import ThreadPoolExecutor
+        prep_state = {"j": -1, "index": None, "aviews": {}}
+        AVIEW_LRU = 4
+
+        def prepare(i, j):
+            if j != prep_state["j"]:
+                prep_state["index"] = None
+                prep_state["index"] = engine.BlockIndex(
                     store, blocks[j], params,
                     build_tables=not native_ops.available())
-                cur_j = j
+                prep_state["j"] = j
+            aviews = prep_state["aviews"]
             if i not in aviews:
                 if len(aviews) >= AVIEW_LRU:
                     aviews.pop(next(iter(aviews)))
@@ -170,20 +182,44 @@ class Pipeline:
             else:
                 aviews[i] = aviews.pop(i)     # refresh LRU order
             # the (j, i) comparison is implied by symmetry
-            ovls = engine.overlap_blocks(
-                store, blocks[i], blocks[j], params, aligner=aligner,
-                same_block=(i == j), index=cur_index, a_view=aviews[i])
-            chunks.append(ovls)
-            LOG.info("%s: block (%d,%d) %d/%d of %d: %d overlaps in %.1fs",
-                     tag, i, j, k + 1, len(pairs), n_pairs, len(ovls),
-                     time.time() - t0)
-            if pf:
-                np.save(pf + ".tmp.npy", ovls)
-                os.replace(pf + ".tmp.npy", pf)
-                system.touch_heartbeat(self.out_dir)
-                system.maybe_recycle(self.out_dir, tag + " overlap")
-        cur_index = None
-        aviews.clear()
+            cands, idx, (t_index, t_chain) = engine.chain_blocks(
+                store, blocks[i], blocks[j], params,
+                same_block=(i == j), index=prep_state["index"],
+                a_view=aviews[i])
+            return cands, idx, t_index, t_chain
+
+        # prefetching only pays when alignment runs on the device; the
+        # host aligner would fight the chain threads for the same cores
+        prefetch = aligner is not None and \
+            os.environ.get("FTPU_PIPELINE_CHAIN", "1") != "0"
+        with ThreadPoolExecutor(1) as prep_exec:
+            fut = None
+            for n, (k, i, j, pf) in enumerate(todo):
+                t0 = time.time()
+                if fut is None:
+                    fut = prep_exec.submit(prepare, i, j)
+                cands, idx, t_index, t_chain = fut.result()
+                fut = None
+                if prefetch and n + 1 < len(todo):
+                    fut = prep_exec.submit(
+                        prepare, todo[n + 1][1], todo[n + 1][2])
+                t1 = time.time()
+                ovls = engine.align_candidates(
+                    store, idx, blocks[i], cands, params, aligner)
+                results[k] = ovls
+                LOG.info(
+                    "%s: block (%d,%d) %d/%d of %d: %d cands -> %d "
+                    "overlaps; index %.1fs chain %.1fs align %.1fs "
+                    "(pair wall %.1fs)", tag, i, j, k + 1, len(pairs),
+                    n_pairs, len(cands), len(ovls), t_index, t_chain,
+                    time.time() - t1, time.time() - t0)
+                if pf:
+                    np.save(pf + ".tmp.npy", ovls)
+                    os.replace(pf + ".tmp.npy", pf)
+                    system.touch_heartbeat(self.out_dir)
+                    system.maybe_recycle(self.out_dir, tag + " overlap")
+        prep_state.clear()
+        chunks = [results[k] for k in range(len(pairs))]
         tbl = otable.concat(chunks)
         occ = getattr(aligner, "ext", None) and aligner.ext.occupancy()
         if occ:

@@ -40,17 +40,25 @@ def main():
             f.write("\n".join(T.to_lines(got_tbl)) + "\n")
         return 0
 
-    if mode == "pipeline":
+    if mode in ("pipeline", "pipeline-dp"):
         # FULL pipeline under jax.distributed: every phase runs on every
         # host (overlap striped + gathered; consensus/graph replicated),
         # each host writing its own out_dir like a cluster host with a
         # local filesystem.  The test byte-compares the hosts' artifacts
         # against each other and against a single-process run.
+        # pipeline-dp: the production device path (XLA-CPU backend,
+        # FTPU_USE_PALLAS=0) with the device consensus DP engine, which
+        # must default ON under multi-process distribution.
         cfg_fn, out_base = sys.argv[2:4]
         out_dir = out_base + "." + pid
         os.makedirs(out_dir, exist_ok=True)
+        use_device = mode == "pipeline-dp"
+        if use_device:
+            from falcon_tpu.cns.device import DeviceCns
+            assert DeviceCns().use_dp, \
+                "DP must default ON under multi-process distribution"
         from falcon_tpu.pipeline.driver import Pipeline
-        p = Pipeline(cfg_fn, out_dir, use_device=False)
+        p = Pipeline(cfg_fn, out_dir, use_device=use_device)
         p.run()
         return 0
 

@@ -26,7 +26,7 @@ def free_port():
     return port
 
 
-def launch(n_procs, args, timeout=240):
+def launch(n_procs, args, timeout=240, extra_env=None):
     port = free_port()
     procs = []
     for pid in range(n_procs):
@@ -40,6 +40,8 @@ def launch(n_procs, args, timeout=240):
         env["FTPU_COORDINATOR_ADDRESS"] = "127.0.0.1:%d" % port
         env["FTPU_NUM_PROCESSES"] = str(n_procs)
         env["FTPU_PROCESS_ID"] = str(pid)
+        if extra_env:
+            env.update(extra_env)
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests", "mp_worker.py")]
             + args, env=env, stdout=subprocess.PIPE,
@@ -138,12 +140,19 @@ def test_two_process_overlap_store_matches_single(tmp_path):
 
 
 @pytest.mark.slow
-def test_two_process_full_pipeline_matches_single(tmp_path):
+@pytest.mark.parametrize("backend", ["host", "dp"])
+def test_two_process_full_pipeline_matches_single(tmp_path, monkeypatch,
+                                                  backend):
     """FULL Pipeline.run() under 2 jax.distributed gloo processes:
     raw FASTA -> p_ctg.fa / sg_edges_list / asm.gfa must be byte-equal
     on both hosts and equal to the single-process run (the reference's
     job_type=local equivalence, test_run_support.py:30-33, extended
-    through every phase)."""
+    through every phase).
+
+    backend=dp runs the production DEVICE path with the on-chip
+    consensus DP engine (FTPU_CNS_DP=1, the multi-chip scaling
+    configuration) on the XLA-CPU backend -- previously only the host
+    hybrid had ever run the full multi-process pipeline."""
     from falcon_tpu.io import fasta
     from falcon_tpu.utils import sim
     G = 40000
@@ -171,20 +180,29 @@ overlap_filtering_setting = --max-diff 100 --max-cov 100 --min-cov 1
     # --n-core 0 = in-process FakePool: forking a worker pool inside the
     # multithreaded jax.distributed processes deadlocks (os.fork + gloo)
 
-    # single-process reference run
+    # single-process reference run (same backend as the workers)
     from falcon_tpu.pipeline.driver import Pipeline
     sdir = str(tmp_path / "single")
     os.makedirs(sdir)
-    Pipeline(cfg_fn, sdir, use_device=False).run()
+    dp = backend == "dp"
+    if dp:
+        monkeypatch.setenv("FTPU_USE_PALLAS", "0")
+        monkeypatch.setenv("FTPU_CNS_DP", "1")
+    Pipeline(cfg_fn, sdir, use_device=dp).run()
 
     # the 2-worker run is load-sensitive (phase skew between the
     # workers while one holds a gloo collective open); a hung attempt is
     # killed by launch() and retried once on a fresh out dir
     import subprocess as _sp
+    mode = "pipeline-dp" if dp else "pipeline"
+    # FTPU_CNS_DP deliberately NOT set for the workers: under 2-process
+    # distribution the DP engine must default ON (mp_worker asserts it)
+    extra = {"FTPU_USE_PALLAS": "0"} if dp else None
     for attempt in (1, 2):
         out_base = str(tmp_path / ("mp%d" % attempt))
         try:
-            launch(2, ["pipeline", cfg_fn, out_base], timeout=420)
+            launch(2, [mode, cfg_fn, out_base], timeout=420,
+                   extra_env=extra)
             break
         except _sp.TimeoutExpired:
             if attempt == 2:
