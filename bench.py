@@ -264,11 +264,43 @@ def mix_occupancy(genome_size=2_000_000, coverage=16):
         return None
 
 
+def bench_consensus_paths(genome_size=300_000, coverage=24, error=0.08):
+    """Warm consensus throughput of both back-ends on one synthetic
+    workload (bench_consensus.build_groups); returns the JSON fields for
+    the headline record."""
+    import io
+    import time
+    from bench_consensus import build_groups
+    from falcon_tpu.cns.device import DeviceCns, run_consensus_device
+
+    groups, cfg = build_groups(genome_size, coverage, error, seed=11)
+    total_bases = sum(sum(len(s) for _, s, _ in items)
+                      for _, items in groups)
+    out = {}
+    for label, use_dp in (("hostmsa", False), ("dp", True)):
+        dev = DeviceCns(use_dp=use_dp)
+        # warm with the FULL workload so no compiles pollute the window
+        run_consensus_device(iter(groups), cfg, io.StringIO(), dev=dev)
+        t0 = time.time()
+        run_consensus_device(iter(groups), cfg, io.StringIO(), dev=dev)
+        out["consensus_%s_bases_per_s" % label] = round(
+            total_bases / (time.time() - t0), 1)
+    best = max(("hostmsa", "dp"),
+               key=lambda k: out["consensus_%s_bases_per_s" % k])
+    out["consensus_support_bases_per_s"] = \
+        out["consensus_%s_bases_per_s" % best]
+    out["consensus_path"] = best
+    out["consensus_support_bases"] = total_bases
+    return out
+
+
 def main():
     import argparse
     p = argparse.ArgumentParser()
     p.add_argument("--windows", type=int, default=3)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--no-consensus", action="store_true")
+    p.add_argument("--cns-genome-size", type=int, default=300_000)
     args = p.parse_args()
 
     from falcon_tpu.utils.jaxinit import setup_jax
@@ -293,6 +325,18 @@ def main():
         windows=args.windows, iters=args.iters)
 
     env_post = probe_env()
+
+    # consensus throughput (VERDICT r4 #6: the driver's BENCH capture
+    # was overlap-only, so consensus progress was invisible round over
+    # round).  Same workload/methodology as bench_consensus.py at a
+    # modest size: warm with the full workload (compiles out of the
+    # timed window), then time both back-ends.
+    cns = {}
+    if not args.no_consensus:
+        try:
+            cns = bench_consensus_paths(args.cns_genome_size)
+        except Exception as e:
+            cns = {"consensus_error": repr(e)[:200]}
 
     ref_bps = bench_reference_c(q, qlen, t, tlen)
     if ref_bps is None:
@@ -360,6 +404,7 @@ def main():
                     min(env_pre["d2h_mb_s"], env_post["d2h_mb_s"]) < 8 or
                     max(env_pre["rtt_ms"], env_post["rtt_ms"]) > 20)
         rec["env_degraded"] = bool(degraded)
+    rec.update(cns)
     print(json.dumps(rec))
 
 
