@@ -260,35 +260,57 @@ def format_output(cns, seed_id, cfg, out):
 
 
 def _pool_worker(task):
-    seed_id, seqs, cfg = task
+    seed_id, seqs, cfg, mark = task
     if cfg.trim:
-        return consensus_with_trim_for_group(seed_id, seqs, cfg)
-    return consensus_for_group(seed_id, seqs, cfg)
+        cns, sid = consensus_with_trim_for_group(seed_id, seqs, cfg)
+    else:
+        cns, sid = consensus_for_group(seed_id, seqs, cfg)
+    return cns, sid, mark
 
 
-def run_consensus(groups, cfg, out, n_core=None):
+def run_consensus(groups, cfg, out, n_core=None, progress_cb=None,
+                  progress_every=200):
     """groups: iterable of (seed_id, [(read_id, seq), ...]).  Writes pread
     FASTA to `out`; returns number of sequences emitted.  n_core > 0 fans
     the per-group kernel out over a process pool (reference:
-    consensus.py:264-274 Pool.imap; FakePool determinism mode at 0)."""
+    consensus.py:264-274 Pool.imap; FakePool determinism mode at 0).
+
+    progress_cb(k): called with k = input groups completely processed
+    and durably emitted, every `progress_every` emitted groups -- same
+    checkpoint contract as cns.device.run_consensus_device (emission
+    order == task order under imap, so when the task pulled as group m
+    is emitted, every group up to m is finished; gated-out groups
+    between tasks count at the next emission)."""
     import multiprocessing
     from ..utils.pool import Pool
     if n_core is None:
         n_core = cfg.n_core if cfg.n_core is not None else 0
     n_core = min(n_core, multiprocessing.cpu_count())
 
+    n_pulled = [0]
+
     def gated_tasks():
         for seed_id, seqs_with_ids in groups:
+            n_pulled[0] += 1
             gated = gate_group(seed_id, seqs_with_ids, cfg)
             if gated is None:
                 continue
-            yield seed_id, gated, cfg
+            yield seed_id, gated, cfg, n_pulled[0]
 
     emitted = 0
+    since = 0
     pool = Pool(n_core)
     try:
-        for cns, sid in pool.imap(_pool_worker, gated_tasks()):
+        for cns, sid, mark in pool.imap(_pool_worker, gated_tasks()):
             emitted += format_output(cns, sid, cfg, out)
+            since += 1
+            if progress_cb is not None and since >= progress_every:
+                progress_cb(mark)
+                since = 0
     finally:
         pool.terminate()
+    if progress_cb is not None:
+        # all tasks drained: every pulled group (incl. trailing
+        # gated-out ones) is final
+        progress_cb(n_pulled[0])
     return emitted

@@ -388,7 +388,7 @@ class Pipeline:
                 emitted = cns_runner.run_consensus(
                     ((sid, [(rid, seq) for rid, seq, _ in items])
                      for sid, items in live), ccfg, out_f,
-                    n_core=n_core)
+                    n_core=n_core, progress_cb=save_progress)
         os.rename(preads_fn + ".tmp", preads_fn)
         if os.path.exists(prog_fn):
             os.unlink(prog_fn)

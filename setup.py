@@ -12,6 +12,7 @@ setup(
         "console_scripts": [
             "ftpu-run = falcon_tpu.pipeline.driver:main",
             "fc_run = falcon_tpu.pipeline.driver:main",
+            "ftpu-supervise = falcon_tpu.pipeline.supervise:main",
             "fc_consensus = falcon_tpu.mains.consensus:main",
             "fc_ovlp_filter = falcon_tpu.mains.ovlp_filter:main",
             "fc_ovlp_stats = falcon_tpu.mains.ovlp_stats:main",
