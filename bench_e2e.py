@@ -40,6 +40,8 @@ def main():
                         "(automatic worker recycling + stall recovery); "
                         "required discipline for >=100Mb runs")
     p.add_argument("--rss-limit-gb", type=float, default=32.0)
+    p.add_argument("--stall-min", type=float, default=45.0,
+                   help="supervisor stall-detector window (minutes)")
     p.add_argument("--resume", action="store_true",
                    help="keep an existing --out dir and resume its run0 "
                         "from checkpoints instead of wiping it")
@@ -110,7 +112,8 @@ overlap_filtering_setting = --max-diff 120 --max-cov 120 --min-cov 2
             from falcon_tpu.pipeline import supervise as sup
             rc = sup.supervise(
                 os.path.abspath("fc_run.cfg"), run_dir,
-                rss_limit_gb=args.rss_limit_gb)
+                rss_limit_gb=args.rss_limit_gb,
+                stall_min=args.stall_min)
             if rc != 0:
                 print("supervised run FAILED (rc=%d)" % rc,
                       file=sys.stderr)

@@ -71,6 +71,13 @@ def supervise(cfg, out_dir=".", rss_limit_gb=32.0, stall_min=45.0,
     env = dict(os.environ)
     env["FTPU_RSS_LIMIT_GB"] = str(rss_limit_gb)
     env.setdefault("PYTHONUNBUFFERED", "1")
+    # the child must be able to import falcon_tpu even when the parent
+    # got it via sys.path manipulation (bench_e2e) rather than an
+    # install: prepend the package's parent dir to the child PYTHONPATH
+    pkg_root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    env["PYTHONPATH"] = pkg_root + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
     if extra_env:
         env.update(extra_env)
     argv = driver_argv or [sys.executable, "-m",
