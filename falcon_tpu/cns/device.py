@@ -194,6 +194,18 @@ class DeviceCns:
         # here like the sibling flags so mid-run env changes cannot
         # alter behavior between batches.
         self.use_mm = os.environ.get("FTPU_CNS_MM") == "1"
+        # log-step max-plus prefix form of the scan's within-t delta
+        # chain (bit-identical; tests/test_cns_dp.py): replaces D-1
+        # dependent [G,5,6] mini-ops per scan step with ceil(log2(D-1))
+        # map compositions -- the round-4 "tiny-op scan" residual.
+        # Opt-in until measured on the real chip (FTPU_CNS_PREFIX=1).
+        self.use_prefix = os.environ.get("FTPU_CNS_PREFIX") == "1"
+        # path-walk backtrack (ops.cns_dp.backtrack_walk): one scan step
+        # per path move instead of the [T, G, D] plane sweep + the
+        # compact_emit binary search; identical emission stream
+        # (tests/test_cns_dp.py).  Opt-in until measured
+        # (FTPU_CNS_WALK=1).
+        self.use_walk = os.environ.get("FTPU_CNS_WALK") == "1"
         from ..ops import cns_dp as _cdp
         self.dp_delta_cap = dp_delta_cap or int(
             os.environ.get("FTPU_CNS_DP_DELTA", str(_cdp.D_DEFAULT)))
@@ -523,7 +535,16 @@ class DeviceCns:
                     msa, mvp, q, bd, gi_b, s2_b,
                     np.float32(max_diff), T, D)
         bp, cov, gb_s, gb_t, gb_d, gb_b = cns_dp.consensus_scan(
-            msa, G, T, D)
+            msa, G, T, D, prefix=self.use_prefix)
+        if self.use_walk:
+            # path-walk backtrack: dense emission stream, no plane, no
+            # compact search; `done` False (walk hit the step cap before
+            # the path start) falls back to the plane path at collect
+            packed, wdone = cns_dp.backtrack_walk(
+                bp, cov, gb_s, gb_t, gb_d, gb_b,
+                int(cfg.min_cov), G, T, D, cap=2 * T)
+            return (sub, (bp, cov, gb_t, gb_d, gb_b, cfg.min_cov),
+                    gb_s, len(tasks), packed, wdone, -1)
         emit = cns_dp.backtrack(bp, cov, gb_s, gb_t, gb_d, gb_b,
                                 np.int32(cfg.min_cov), G, T, D)
         # compact on device: collect fetches [G, cap+1] rows instead of
@@ -585,8 +606,33 @@ class DeviceCns:
         fetched = jax.device_get(
             [(comp, counts) for (_, _, _, _, comp, counts, _) in batches])
         n_overflow = 0
-        for (sub, emit, _, _, _, _, cap), (comp, counts) in \
+        for (sub, emit, gbs, _, _, _, cap), (comp, counts) in \
                 zip(batches, fetched):
+            if cap == -1:
+                # walk path: comp = packed stream rows, counts = done
+                # flags; a False flag (walk overran its step cap before
+                # the path start -- pathological dash chains) recomputes
+                # the plane backtrack for that batch once
+                plane = None
+                for g, ci in enumerate(sub):
+                    if counts[g]:
+                        out[ci] = (chunk[ci][0],
+                                   cns_dp.assemble_walk(comp[g]))
+                    else:
+                        n_overflow += 1
+                        if plane is None:
+                            bp, cov, gb_t, gb_d, gb_b, min_cov = emit
+                            G, T = cov.shape
+                            D = bp.shape[2] // 5
+                            plane = cns_dp.backtrack(
+                                bp, cov, gbs, gb_t, gb_d, gb_b,
+                                np.int32(min_cov), G, T, D)
+                        out[ci] = (chunk[ci][0],
+                                   cns_dp.assemble_consensus(
+                                       jax.device_get(
+                                           plane[:, g, :])[:, None, :],
+                                       0))
+                continue
             for g, ci in enumerate(sub):
                 cnt = int(counts[g])
                 if cnt > cap:
@@ -601,7 +647,12 @@ class DeviceCns:
         # explicit device-buffer deletes (see collect_tasks: the axon
         # client frees fetched/retired buffers lazily)
         for st in batches:
-            for a in (st[1], st[2], st[4], st[5]):
+            arrs = [st[2], st[4], st[5]]
+            if isinstance(st[1], tuple):
+                arrs.extend(st[1][:5])      # bp, cov, gb_t, gb_d, gb_b
+            else:
+                arrs.append(st[1])          # emit plane
+            for a in arrs:
                 try:
                     a.delete()
                 except Exception:

@@ -387,8 +387,73 @@ def add_self_tags(msa, seeds, tlens, T):
     return msa.at[:L0SZ].add(upd.reshape(-1))
 
 
-@functools.partial(jax.jit, static_argnames=("G", "T", "D"))
-def consensus_scan(msa, G, T, D):
+def _delta_chain_prefix(S0, ld, half_cov, G, D):
+    """Within-t insertion chain as a log-step max-plus prefix scan.
+
+    The sequential recurrence S_d = f_d(S_{d-1}) with
+      f_d(x)[b] = exists_d[b] ? max(max_pb(x[pb] + M_d[b,pb]),
+                                    c_d[b]) : -1.0
+    is affine in (max, +): folding the per-level -half_cov into M/c and
+    encoding the no-link rows as the constant map (M = NEG, c = -1.0)
+    makes every f_d representable as (M, c), and composition
+      (f âˆ˜ g) = (M_f âŠ— M_g, max(M_f âŠ— c_g, c_f))
+    associative.  A Hillis-Steele scan over the D-1 levels yields all
+    prefixes F_d = f_d âˆ˜ ... âˆ˜ f_1 in ceil(log2(D-1)) rounds; S_d =
+    F_d(S0).  Best-pred codes are recovered afterwards with ONE batched
+    argmax per step, using cand arrays built exactly like the
+    sequential path's (same values, same tie order).
+
+    Exactness: counts are uint16, half_cov a multiple of 0.5 < 2^22,
+    path sums stay far below 2^23, so float32 adds are exact in any
+    association; NEG-contaminated entries stay near -1e9, 4 orders
+    below any reachable score.
+
+    S0: [G, 5], ld: [G, D-1, 5, NPCD] float32 counts, half_cov: [G].
+    Returns (S_t [G, D, 5], codes_d [G, D-1, 5] int32).
+    """
+    NEG = jnp.float32(-1e9)
+    h = half_cov[:, None, None]
+    pres = ld > 0                                     # [G, D-1, 5, 6]
+    exists = jnp.any(pres, axis=3)                    # [G, D-1, 5]
+    M = jnp.where(pres[..., :5], ld[..., :5] - h[..., None], NEG)
+    c = jnp.where(pres[..., 5], ld[..., 5] - h, NEG)
+    M = jnp.where(exists[..., None], M, NEG)
+    c = jnp.where(exists, c, jnp.float32(-1.0))
+
+    # identity map for the shifted-in prefix slots
+    eye = jnp.where(jnp.eye(5, dtype=bool), jnp.float32(0), NEG)
+
+    def shift(a, s, fill):
+        pad = jnp.broadcast_to(fill, a[:, :s].shape)
+        return jnp.concatenate([pad, a[:, :-s]], axis=1)
+
+    s = 1
+    while s < D - 1:
+        Mp = shift(M, s, eye)
+        cp = shift(c, s, NEG)
+        # F_d ∘ F_{d-s}: M' = M ⊗ Mp, c' = max(M ⊗ cp, c)
+        Mn = jnp.max(M[:, :, :, :, None] + Mp[:, :, None, :, :], axis=3)
+        cn = jnp.maximum(jnp.max(M + cp[:, :, None, :], axis=3), c)
+        M, c = Mn, cn
+        s *= 2
+
+    # S_d = F_d(S0) = max(max_pb(M[d] + S0[pb]), c[d])
+    Sd = jnp.maximum(
+        jnp.max(M + S0[:, None, None, :], axis=3), c)     # [G, D-1, 5]
+    S_t = jnp.concatenate([S0[:, None, :], Sd], axis=1)   # [G, D, 5]
+
+    # codes: one batched argmax with the sequential path's exact cands
+    qv = jnp.concatenate(
+        [S_t[:, :-1, :],
+         jnp.zeros((G, D - 1, 1), jnp.float32)], axis=2)  # [G, D-1, 6]
+    cand = jnp.where(pres, qv[:, :, None, :] + ld, NEG)
+    arg = jnp.argmax(cand, axis=3).astype(jnp.int32)      # [G, D-1, 5]
+    codes_d = jnp.where((arg == NPCD - 1) | ~exists, 255, 128 + arg)
+    return S_t, codes_d
+
+
+@functools.partial(jax.jit, static_argnames=("G", "T", "D", "prefix"))
+def consensus_scan(msa, G, T, D, prefix=False):
     """Forward DP over t (falcon.c:405-477 as one scan for G groups).
 
     Returns (bp [T, G, D*5] uint8 best-pred codes, cov [G, T] int32,
@@ -396,6 +461,19 @@ def consensus_scan(msa, G, T, D):
 
     Pred codes: <128 = jump to (t-1, code//5, code%5); 128..249 = stay at
     (t, d-1, code-128); 254/255 = path start (stop).
+
+    prefix=True replaces the sequential within-t delta chain (D-1
+    dependent [G,5,6] mini-ops per scan step -- the "tiny-op" residual
+    named in BASELINE.md round 4) with a log-step affine max-plus prefix
+    composition: each level d is the map f_d(x) = max(M_d x, c_d) in
+    (max, +) algebra (M_d = link counts - half_cov, NEG-masked; rows
+    with no links compose as the constant map -1.0), and a Hillis-
+    Steele scan over d composes all prefixes in ceil(log2(D-1)) rounds
+    of [G, D-1, 5, 5] map products.  Best-pred codes then come from ONE
+    batched argmax over all levels.  Bit-identical to the sequential
+    chain: every score is a multiple of 0.5 with |.| << 2^23, so float32
+    addition is exact in any association (tests/test_cns_dp.py::
+    test_consensus_scan_prefix_parity).
     """
     # TPU layout note: keep the big [*, T, *] tensors 3-D with a LARGE
     # trailing dim.  A [G,T,D-1,5,6] materialization tiles its minor
@@ -434,26 +512,33 @@ def consensus_scan(msa, G, T, D):
                                   jnp.take_along_axis(a2, pb0, axis=1)))
         code0 = jnp.where((arg0 == NPC0 - 1) | ~exists0, 254,
                           pd0 * 5 + pb0)
-        S_list = [S0]
-        code_list = [code0]
-        for d in range(1, D):
-            qv = jnp.concatenate(
-                [S_list[d - 1], jnp.zeros((G, 1), jnp.float32)], axis=1)
-            ldd = ld[:, d - 1]                               # [G, 5, 6]
-            cand = jnp.where(ldd > 0, qv[:, None, :] + ldd, NEG)
-            best = jnp.max(cand, axis=2)
-            arg = jnp.argmax(cand, axis=2).astype(jnp.int32)
-            exists = jnp.any(ldd > 0, axis=2)
-            Sd = jnp.where(exists, best - half_cov[:, None],
-                           jnp.float32(-1.0))
-            code = jnp.where((arg == NPCD - 1) | ~exists, 255, 128 + arg)
-            S_list.append(Sd)
-            code_list.append(code)
-        S_t = jnp.stack(S_list, axis=1)                      # [G, D, 5]
+        if not prefix:
+            S_list = [S0]
+            code_list = [code0]
+            for d in range(1, D):
+                qv = jnp.concatenate(
+                    [S_list[d - 1], jnp.zeros((G, 1), jnp.float32)],
+                    axis=1)
+                ldd = ld[:, d - 1]                           # [G, 5, 6]
+                cand = jnp.where(ldd > 0, qv[:, None, :] + ldd, NEG)
+                best = jnp.max(cand, axis=2)
+                arg = jnp.argmax(cand, axis=2).astype(jnp.int32)
+                exists = jnp.any(ldd > 0, axis=2)
+                Sd = jnp.where(exists, best - half_cov[:, None],
+                               jnp.float32(-1.0))
+                code = jnp.where((arg == NPCD - 1) | ~exists, 255,
+                                 128 + arg)
+                S_list.append(Sd)
+                code_list.append(code)
+            S_t = jnp.stack(S_list, axis=1)                  # [G, D, 5]
+            codes_all = jnp.stack(code_list, axis=1)
+        else:
+            S_t, codes_d = _delta_chain_prefix(S0, ld, half_cov, G, D)
+            codes_all = jnp.concatenate([code0[:, None, :], codes_d],
+                                        axis=1)
         # emit the pred plane flat [G, D*5]: a [T,G,D,5] stack would
         # tile-pad (D,5)->(16,128) on TPU (1.66GB of uint8 at T=8192)
-        codes = jnp.stack(code_list, axis=1).astype(jnp.uint8) \
-            .reshape(G, D * 5)
+        codes = codes_all.astype(jnp.uint8).reshape(G, D * 5)
         flat = S_t.reshape(G, D * 5)
         mbest = jnp.max(flat, axis=1)
         am = jnp.argmax(flat, axis=1).astype(jnp.int32)
@@ -525,6 +610,79 @@ def backtrack(bp, cov, gb_s, gb_t, gb_d, gb_b, min_cov, G, T, D):
                            (jnp.flip(bp, axis=0), jnp.flip(covt, axis=0),
                             ts), unroll=_SCAN_UNROLL)
     return emit     # [T, G, D] uint8
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("min_cov", "G", "T", "D", "cap"))
+def backtrack_walk(bp, cov, gb_s, gb_t, gb_d, gb_b, min_cov, G, T, D,
+                   cap):
+    """Path-walk backtrack: one scan step per path position instead of
+    the [T, G, D] plane sweep (backtrack) + compact_emit search.
+
+    The plane formulation executes T scan steps x D unrolled inner
+    iterations (most inactive: each group visits a t once) and then a
+    17-round binary search to compact ~T emissions out of T*D slots.
+    This walk executes `cap` steps, each performing exactly one path
+    move for every group (two [G] gathers from bp/cov + a handful of
+    [G] selects), and writes the emission stream densely: no
+    compaction, ~D x fewer scan-body operations, and the same D2H
+    volume packed 2 codes/byte.
+
+    Emits the identical code sequence as backtrack+compact_emit
+    (tests/test_cns_dp.py::test_backtrack_walk_parity): per step the
+    4-bit code of the column left behind (NOEMIT for dash-suppressed or
+    inactive steps).
+
+    Returns (packed [G, cap//2] uint8 two-codes-per-byte in step order,
+    done [G] bool -- False means the walk hit `cap` before the path
+    start and the caller must fall back to the plane path for that
+    group).
+    """
+    bpf = bp.reshape(T * G * D * 5).astype(jnp.int32)
+    covf = cov.reshape(G * T)
+    g_ar = jnp.arange(G, dtype=jnp.int32)
+
+    def step(carry, _):
+        t_cur, d_cur, b_cur, ck, done, n_emit = carry
+        tc = jnp.clip(t_cur, 0, T - 1)
+        code = jnp.take(bpf, (tc * G + g_ar) * (D * 5) + d_cur * 5
+                        + b_cur)
+        lower = jnp.take(covf, g_ar * T + tc) <= min_cov
+        is_start = code >= 250
+        can = (~done) & ~is_start
+        ev = jnp.where(can & (ck != 4) & (n_emit < 2 * T),
+                       (ck + 5 * lower).astype(jnp.uint8),
+                       jnp.uint8(NOEMIT))
+        n_emit = n_emit + (ev != NOEMIT).astype(jnp.int32)
+        jump = can & (code < 128)
+        stay = can & (code >= 128)
+        step_b = jnp.where(jump, code % 5,
+                           jnp.where(stay, code - 128, b_cur))
+        d_cur = jnp.where(jump, code // 5,
+                          jnp.where(stay, d_cur - 1, d_cur))
+        b_cur = step_b
+        ck = jnp.where(jump | stay, step_b, ck)
+        t_cur = jnp.where(jump, t_cur - 1, t_cur)
+        done = done | is_start | (t_cur < 0) | (n_emit >= 2 * T)
+        return (t_cur, d_cur, b_cur, ck, done, n_emit), ev
+
+    init = (gb_t, gb_d, gb_b, gb_b, gb_s == jnp.float32(-1.0),
+            jnp.zeros((G,), jnp.int32))
+    (_, _, _, _, done, _), emits = jax.lax.scan(
+        step, init, None, length=cap, unroll=_SCAN_UNROLL)
+    e = emits.T                                          # [G, cap]
+    packed = e[:, 0::2] | (e[:, 1::2] << 4)
+    return packed, done
+
+
+def assemble_walk(packed_row):
+    """Host: one group's packed walk stream -> consensus string."""
+    row = np.asarray(packed_row)
+    codes = np.empty(row.shape[0] * 2, np.uint8)
+    codes[0::2] = row & 15
+    codes[1::2] = row >> 4
+    sel = codes[codes != NOEMIT][::-1]
+    return _LUT[np.minimum(sel, 9)].tobytes().decode()
 
 
 _LUT = np.frombuffer(b"ACGT-acgt-", np.uint8)

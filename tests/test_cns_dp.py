@@ -309,3 +309,134 @@ def test_emit_base_moves_unchanged():
                                emit_base=True)
     for x, y in zip(a, b_[:4]):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("err,seed", [(0.0, 41), (0.12, 42), (0.3, 43)])
+def test_consensus_scan_prefix_parity(err, seed):
+    """consensus_scan(prefix=True) (log-step max-plus delta chain) must
+    be bit-identical to the sequential chain -- scores are multiples of
+    0.5 far below float32's exact-integer range, so the reassociation
+    is exact; argmax tie order is pinned by the shared post-pass cand
+    construction."""
+    import jax.numpy as jnp
+    from falcon_tpu.ops import align_tb, cns_dp
+    rng = np.random.RandomState(seed)
+    T, D, G, B, L = 1024, 14, 8, 12, 2048
+    qs = np.full((B, L), 4, np.int8)
+    ts = np.full((B, L), 5, np.int8)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    gidx = np.zeros(B, np.int32)
+    s2 = np.zeros(B, np.int32)
+    for b in range(B):
+        t_arr = rng.randint(0, 4, rng.randint(700, 1100)).astype(np.uint8)
+        q_arr = noisy(t_arr, err, rng) if err else t_arr.copy()
+        qs[b, :len(q_arr)] = q_arr
+        ts[b, :len(t_arr)] = t_arr
+        qlen[b] = len(q_arr)
+        tlen[b] = len(t_arr)
+        gidx[b] = b % G
+        s2[b] = rng.randint(0, 5)
+    bi, bj, bd, mvp = align_tb.align_tb_batch(
+        jnp.asarray(qs), jnp.asarray(qlen), jnp.asarray(ts),
+        jnp.asarray(tlen), W=64)
+    msa = cns_dp.accumulate_tags(
+        cns_dp.alloc_msa(G, T, D), mvp, jnp.asarray(qs), bd,
+        jnp.asarray(gidx), jnp.asarray(s2), np.float32(0.5), T, D)
+    ref = cns_dp.consensus_scan(msa, G, T, D, prefix=False)
+    new = cns_dp.consensus_scan(msa, G, T, D, prefix=True)
+    for a, b, name in zip(ref, new,
+                          ("bp", "cov", "gb_s", "gb_t", "gb_d", "gb_b")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), name)
+
+
+def test_consensus_scan_prefix_parity_random_msa():
+    """Adversarial random MSA counts (incl. empty columns, start-only
+    links, and isolated insertion levels with dead predecessors) --
+    exercises the constant-map (-1.0) encoding paths that real move
+    streams rarely hit."""
+    from falcon_tpu.ops import cns_dp
+    rng = np.random.RandomState(7)
+    G, T, D = 5, 64, 14
+    msa = np.zeros(cns_dp.msa_size(G, T, D), np.uint16)
+    n = msa.shape[0] - 1
+    hot = rng.choice(n, size=n // 7, replace=False)
+    msa[hot] = rng.randint(1, 200, size=hot.shape[0]).astype(np.uint16)
+    import jax.numpy as jnp
+    msa = jnp.asarray(msa)
+    ref = cns_dp.consensus_scan(msa, G, T, D, prefix=False)
+    new = cns_dp.consensus_scan(msa, G, T, D, prefix=True)
+    for a, b, name in zip(ref, new,
+                          ("bp", "cov", "gb_s", "gb_t", "gb_d", "gb_b")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), name)
+
+
+@pytest.mark.parametrize("err,seed", [(0.0, 51), (0.12, 52), (0.3, 53)])
+def test_backtrack_walk_parity(err, seed):
+    """backtrack_walk must emit the identical code stream (hence
+    identical consensus strings) as backtrack + compact_emit, for every
+    group including empty ones."""
+    import jax.numpy as jnp
+    from falcon_tpu.ops import align_tb, cns_dp
+    rng = np.random.RandomState(seed)
+    T, D, G, B, L = 1024, 14, 8, 12, 2048
+    qs = np.full((B, L), 4, np.int8)
+    ts = np.full((B, L), 5, np.int8)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    gidx = np.zeros(B, np.int32)
+    s2 = np.zeros(B, np.int32)
+    for b in range(B):
+        t_arr = rng.randint(0, 4, rng.randint(700, 1100)).astype(np.uint8)
+        q_arr = noisy(t_arr, err, rng) if err else t_arr.copy()
+        qs[b, :len(q_arr)] = q_arr
+        ts[b, :len(t_arr)] = t_arr
+        qlen[b] = len(q_arr)
+        tlen[b] = len(t_arr)
+        gidx[b] = b % (G - 1)       # leave the last group empty
+        s2[b] = rng.randint(0, 5)
+    bi, bj, bd, mvp = align_tb.align_tb_batch(
+        jnp.asarray(qs), jnp.asarray(qlen), jnp.asarray(ts),
+        jnp.asarray(tlen), W=64)
+    msa = cns_dp.accumulate_tags(
+        cns_dp.alloc_msa(G, T, D), mvp, jnp.asarray(qs), bd,
+        jnp.asarray(gidx), jnp.asarray(s2), np.float32(0.5), T, D)
+    bp, cov, gb_s, gb_t, gb_d, gb_b = cns_dp.consensus_scan(msa, G, T, D)
+    min_cov = 2
+    emit = cns_dp.backtrack(bp, cov, gb_s, gb_t, gb_d, gb_b,
+                            np.int32(min_cov), G, T, D)
+    comp, counts = cns_dp.compact_emit(emit, cap=T + T // 4)
+    packed, done = cns_dp.backtrack_walk(
+        bp, cov, gb_s, gb_t, gb_d, gb_b, min_cov, G, T, D, cap=2 * T)
+    comp, counts, packed, done = map(np.asarray,
+                                     (comp, counts, packed, done))
+    assert done.all()
+    n_nonempty = 0
+    for g in range(G):
+        ref = cns_dp.assemble_compacted(comp[g], int(counts[g]))
+        got = cns_dp.assemble_walk(packed[g])
+        assert got == ref, "group %d: %d vs %d chars" % (
+            g, len(got), len(ref))
+        n_nonempty += bool(ref)
+    assert n_nonempty >= G - 1      # only the deliberately-empty group
+
+
+def test_run_consensus_device_dp_stream_prefix_walk(monkeypatch):
+    """The DP stream path with the prefix-scan + walk-backtrack
+    variants enabled must match the default DP path byte-for-byte."""
+    rng = np.random.RandomState(21)
+    truth = rng.randint(0, 4, 3000).astype(np.uint8)
+    items = make_group(truth, 12, 0.1, rng)
+    cfg = runner.ConsensusConfig(output_multi=False, **CFG)
+    outs = []
+    for flags in ("0", "1"):
+        monkeypatch.setenv("FTPU_CNS_PREFIX", flags)
+        monkeypatch.setenv("FTPU_CNS_WALK", flags)
+        out = io.StringIO()
+        dev = DeviceCns(use_dp=True, use_pallas=False)
+        assert dev.use_prefix == dev.use_walk == (flags == "1")
+        n = run_consensus_device(iter([("000000000", items)]), cfg, out,
+                                 dev=dev)
+        assert n == 1
+        outs.append(out.getvalue())
+    assert outs[0] == outs[1]
