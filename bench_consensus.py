@@ -66,6 +66,13 @@ def main():
     p.add_argument("--coverage", type=float, default=24)
     p.add_argument("--error", type=float, default=0.08)
     p.add_argument("--n-core", type=int, default=os.cpu_count() or 2)
+    p.add_argument("--paths", default="hostmsa,dp",
+                   help="comma list of device back-ends to time "
+                        "(hostmsa,dp); trims the window for A/B runs "
+                        "of one back-end under env-flag variants")
+    p.add_argument("--skip-ref", action="store_true",
+                   help="skip the reference C pool (A/B runs where the "
+                        "device delta is the question)")
     args = p.parse_args()
 
     groups, cfg = build_groups(args.genome_size, args.coverage,
@@ -76,22 +83,28 @@ def main():
           (len(groups), total_bases / 1e6), file=sys.stderr)
 
     # -- reference: C kernel via process pool (fc_consensus shape) -------
-    from multiprocessing import Pool
-    jobs = [([s for _, s, _ in items], cfg.min_cov, 8, cfg.min_idt)
-            for _, items in groups]
-    t0 = time.time()
-    with Pool(args.n_core) as pool:
-        ref_out = pool.map(_ref_one, jobs)
-    t_ref = time.time() - t0
-    ref_cns = sum(len(c or "") for c in ref_out)
+    if args.skip_ref:
+        t_ref, ref_cns = float("nan"), 0
+    else:
+        from multiprocessing import Pool
+        jobs = [([s for _, s, _ in items], cfg.min_cov, 8, cfg.min_idt)
+                for _, items in groups]
+        t0 = time.time()
+        with Pool(args.n_core) as pool:
+            ref_out = pool.map(_ref_one, jobs)
+        t_ref = time.time() - t0
+        ref_cns = sum(len(c or "") for c in ref_out)
 
     # -- falcon_tpu device engine: both consensus back-ends --------------
     # host-msa: device align+traceback, C++ MSA/DP on host (default);
     # device-dp: MSA+DP+backtrack on chip (FTPU_CNS_DP=1 path)
     import io
     from falcon_tpu.cns.device import DeviceCns, run_consensus_device
+    want = set(args.paths.split(","))
     paths = {}
     for label, use_dp in (("hostmsa", False), ("dp", True)):
+        if label not in want:
+            continue
         dev = DeviceCns(use_dp=use_dp)
         out = io.StringIO()
         # warm with the FULL workload: a subset misses the larger
@@ -118,10 +131,10 @@ def main():
         "ref_wall_s": round(t_ref, 1),
         "dev_wall_s": round(t_dev, 1),
         "best_path": best,
-        "hostmsa_bases_per_s": round(total_bases / paths["hostmsa"][0], 1),
-        "dp_bases_per_s": round(total_bases / paths["dp"][0], 1),
-        "hostmsa_warm_wall_s": round(paths["hostmsa"][3], 1),
-        "dp_warm_wall_s": round(paths["dp"][3], 1),
+        **{"%s_bases_per_s" % k: round(total_bases / v[0], 1)
+           for k, v in paths.items()},
+        **{"%s_warm_wall_s" % k: round(v[3], 1)
+           for k, v in paths.items()},
         "n_core_ref": args.n_core,
         "ref_cns_bases": ref_cns,
         "dev_cns_bases": paths[best][1],
