@@ -206,6 +206,11 @@ class DeviceCns:
         # (tests/test_cns_dp.py).  Opt-in until measured
         # (FTPU_CNS_WALK=1).
         self.use_walk = os.environ.get("FTPU_CNS_WALK") == "1"
+        # walk step budget as a fraction of 2T (1.0 = the n_emit bound;
+        # smaller trades plane-fallback risk for scan steps -- test
+        # hook, production default stays 1.0)
+        self.walk_cap_frac = float(
+            os.environ.get("FTPU_CNS_WALK_CAP_FRAC", "1.0"))
         from ..ops import cns_dp as _cdp
         self.dp_delta_cap = dp_delta_cap or int(
             os.environ.get("FTPU_CNS_DP_DELTA", str(_cdp.D_DEFAULT)))
@@ -540,9 +545,10 @@ class DeviceCns:
             # path-walk backtrack: dense emission stream, no plane, no
             # compact search; `done` False (walk hit the step cap before
             # the path start) falls back to the plane path at collect
+            cap = max(2, int(2 * T * self.walk_cap_frac)) & ~1
             packed, wdone = cns_dp.backtrack_walk(
                 bp, cov, gb_s, gb_t, gb_d, gb_b,
-                int(cfg.min_cov), G, T, D, cap=2 * T)
+                int(cfg.min_cov), G, T, D, cap=cap)
             return (sub, (bp, cov, gb_t, gb_d, gb_b, cfg.min_cov),
                     gb_s, len(tasks), packed, wdone, -1)
         emit = cns_dp.backtrack(bp, cov, gb_s, gb_t, gb_d, gb_b,

@@ -440,3 +440,30 @@ def test_run_consensus_device_dp_stream_prefix_walk(monkeypatch):
         assert n == 1
         outs.append(out.getvalue())
     assert outs[0] == outs[1]
+
+
+def test_walk_overflow_plane_fallback(monkeypatch, caplog):
+    """A walk that overruns its step cap (forced tiny via
+    FTPU_CNS_WALK_CAP_FRAC) must fall back to the plane backtrack at
+    collect and still produce the exact default-path output."""
+    import logging
+    caplog.set_level(logging.INFO, logger="falcon_tpu.cns.device")
+    rng = np.random.RandomState(23)
+    truth = rng.randint(0, 4, 3000).astype(np.uint8)
+    items = make_group(truth, 10, 0.1, rng)
+    cfg = runner.ConsensusConfig(output_multi=False, **CFG)
+    outs = []
+    for env in ({}, {"FTPU_CNS_WALK": "1",
+                     "FTPU_CNS_WALK_CAP_FRAC": "0.05"}):
+        for k in ("FTPU_CNS_WALK", "FTPU_CNS_WALK_CAP_FRAC"):
+            monkeypatch.delenv(k, raising=False)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        out = io.StringIO()
+        dev = DeviceCns(use_dp=True, use_pallas=False)
+        n = run_consensus_device(iter([("000000000", items)]), cfg, out,
+                                 dev=dev)
+        assert n == 1
+        outs.append(out.getvalue())
+    assert outs[0] == outs[1]
+    assert "overflow plane fetches" in caplog.text  # fallback really ran
