@@ -226,7 +226,11 @@ class DeviceCns:
         # scans); the host-MSA path keeps chunks small enough that the
         # finisher thread's host stage overlaps the device
         if chunk_tasks is None:
-            chunk_tasks = 32768 if self.use_dp else 8192
+            env_ct = os.environ.get("FTPU_CNS_CHUNK_TASKS", "")
+            if env_ct:
+                chunk_tasks = int(env_ct)
+            else:
+                chunk_tasks = 32768 if self.use_dp else 8192
         self.chunk_tasks = chunk_tasks  # alignment tasks per chunk
         self.moves_budget = moves_budget  # HBM bytes for one batch's trace
 
