@@ -56,7 +56,9 @@ def main():
     from falcon_tpu.pipeline.driver import Pipeline
     from falcon_tpu.utils import sim
 
-    out = args.out
+    # abspath BEFORE chdir: a relative --out re-joined after the chdir
+    # below would nest the run dir inside itself (out/out/run0)
+    out = os.path.abspath(args.out)
     if os.path.isdir(out) and not args.resume:
         shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)

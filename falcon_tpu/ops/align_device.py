@@ -33,6 +33,45 @@ import numpy as np
 INF = np.int32(1 << 20)
 
 
+def _hb_tick():
+    from ..utils.system import heartbeat_tick
+    heartbeat_tick()
+
+
+def _collect(entries, results, group=8):
+    """device_get in groups, writing (i, j, d) results and beating the
+    supervisor heartbeat between groups: one monolithic end-of-pair
+    fetch gave no liveness signal for minutes on a big block pair, so a
+    wedged device_get (the observed remote-client failure mode) was
+    indistinguishable from a long healthy one.  The extra tunnel
+    round-trips are ~25ms per group -- noise next to batch compute."""
+    from ..utils.system import heartbeat_tick
+    for s in range(0, len(entries), group):
+        part = entries[s:s + group]
+        fetched = jax.device_get([outs for _, outs in part])
+        for (chunk, _), (bi, bj, bd) in zip(part, fetched):
+            for k, idx in enumerate(chunk):
+                results[idx] = (int(bi[k]), int(bj[k]), int(bd[k]))
+        heartbeat_tick()
+
+
+# Cap on dispatched-but-uncollected batches.  Unbounded dispatch (queue
+# EVERY batch of a pair, then fetch) piled hundreds of H2D transfers +
+# result buffers into the remote client at 100Mb scale -- the staging
+# growth behind the observed RSS leak, and the state in which the
+# client's device_get wedges.  16 in-flight batches still hides the
+# tunnel round-trip behind device compute.
+_INFLIGHT_CAP = int(__import__("os").environ.get(
+    "FTPU_INFLIGHT_BATCHES", "16"))
+
+
+def _maybe_drain(inflight, results):
+    if len(inflight) > _INFLIGHT_CAP:
+        n = len(inflight) - _INFLIGHT_CAP
+        _collect(inflight[:n], results)
+        del inflight[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("W", "end_bonus"))
 def extend_batch_device(q, qlen, t, tlen, W=512, end_bonus=3):
     """Banded edit-distance extension for a batch of sequence pairs.
@@ -402,14 +441,12 @@ class DeviceExtender:
                         fill_q=4, fill_t=5)
                     inflight.append((chunk, self._extend(qd, ql_, td, tl_)))
                 n_batches += 1
+                _hb_tick()
+                _maybe_drain(inflight, results)
         _t_coll = _time.time()
-        # one batched device_get: per-array np.asarray costs a tunnel
-        # round-trip (~25ms) each on a networked chip
-        import jax
-        fetched = jax.device_get([outs for _, outs in inflight])
-        for (chunk, _), (bi, bj, bd) in zip(inflight, fetched):
-            for k, idx in enumerate(chunk):
-                results[idx] = (int(bi[k]), int(bj[k]), int(bd[k]))
+        # grouped device_get (NOT per-array np.asarray, which costs a
+        # ~25ms tunnel round-trip each) with heartbeat ticks per group
+        _collect(inflight, results)
         _log.info("extender: %d tasks, %d buckets, %d batches; "
                   "dispatch %.1fs collect %.1fs",
                   len(tasks), len(buckets), n_batches,
@@ -505,11 +542,10 @@ class DeviceExtender:
                     inflight.append(
                         (chunk, self._extend(qd, sel_d[1], td, sel_d[4])))
                 n_batches += 1
+                _hb_tick()
+                _maybe_drain(inflight, results)
         _t_coll = _time.time()
-        fetched = jax.device_get([outs for _, outs in inflight])
-        for (chunk, _), (bi, bj, bd) in zip(inflight, fetched):
-            for k, idx in enumerate(chunk):
-                results[idx] = (int(bi[k]), int(bj[k]), int(bd[k]))
+        _collect(inflight, results)
         _log.info("extender(specs): %d tasks, %d buckets, %d batches; "
                   "dispatch %.1fs collect %.1fs (occupancy %.2f cum)",
                   n, n_buckets, n_batches,

@@ -61,6 +61,9 @@ class Pipeline:
         for d in (self.dir0, self.dir1, self.dir2):
             os.makedirs(d, exist_ok=True)
         self.timings = {}
+        # batch-level liveness ticks for the supervisor's stall detector
+        # (device batch loops beat between durable checkpoints)
+        system.set_heartbeat_dir(self.out_dir)
 
     # -- helpers -----------------------------------------------------------
     def _engine_params(self, stage):

@@ -9,6 +9,7 @@ plane -- and is intentionally omitted.
 import contextlib
 import logging
 import os
+import time
 
 LOG = logging.getLogger(__name__)
 
@@ -97,6 +98,32 @@ def rss_limit_gb():
         return float(v) if v else None
     except ValueError:
         return None
+
+
+# liveness-tick registration: long device phases (a single 400MB block
+# pair's align stage runs minutes with no durable checkpoint) tick the
+# heartbeat from inside their batch loops so the supervisor's stall
+# detector measures CLIENT liveness, not checkpoint cadence.  The driver
+# registers its out_dir once; compute modules call heartbeat_tick()
+# without knowing about the pipeline.
+_HB = {"dir": None, "t": 0.0}
+
+
+def set_heartbeat_dir(out_dir):
+    _HB["dir"] = out_dir
+    _HB["t"] = 0.0
+
+
+def heartbeat_tick(min_interval_s=5.0):
+    """Rate-limited heartbeat touch; no-op outside a supervised run."""
+    d = _HB["dir"]
+    if d is None:
+        return
+    now = time.time()
+    if now - _HB["t"] < min_interval_s:
+        return
+    _HB["t"] = now
+    touch_heartbeat(d)
 
 
 def touch_heartbeat(out_dir):
